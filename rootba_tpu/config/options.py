@@ -1,0 +1,323 @@
+"""Reflection-based options framework (TPU-native analog of rootba's
+VisitableOptions, reference src/rootba/options/visitable_options.hpp).
+
+Python dataclasses with field metadata play the role of the
+VISITABLE_META macro: every leaf field carries default / help / range /
+enum information that the TOML loader, the --dump-config printer and the
+auto-generated CLI (rootba_tpu/cli) all visit generically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Dict, List, Optional, Tuple, Type
+
+
+def opt(default, help="", range=None, logscale=False, choices=None):
+    """Declare an option leaf (analog of VISITABLE_META)."""
+    meta = {"help": help, "range": range, "logscale": logscale,
+            "choices": choices}
+    if callable(default) and not isinstance(default, type):
+        return field(default_factory=default, metadata=meta)
+    if isinstance(default, (list, dict)):
+        return field(default_factory=lambda: default.copy(), metadata=meta)
+    return field(default=default, metadata=meta)
+
+
+def suboptions(cls):
+    """Declare a nested options struct."""
+    return field(default_factory=cls, metadata={"nested": True})
+
+
+# ---------------------------------------------------------------------------
+# enums (string round-trip like wise_enum)
+# ---------------------------------------------------------------------------
+
+class StrEnum(str, enum.Enum):
+    def __str__(self) -> str:  # noqa: DunderStr
+        return self.value
+
+    @classmethod
+    def parse(cls, s: str):
+        try:
+            return cls(s)
+        except ValueError:
+            valid = ", ".join(m.value for m in cls)
+            raise ValueError(
+                f"invalid value {s!r} for {cls.__name__}; valid: {valid}"
+            ) from None
+
+
+class DatasetType(StrEnum):
+    AUTO = "Auto"
+    ROOTBA = "Rootba"
+    BAL = "Bal"
+    BUNDLER = "Bundler"
+
+
+class RobustNorm(StrEnum):
+    NONE = "None"
+    HUBER = "Huber"
+
+
+class SolverType(StrEnum):
+    SQUARE_ROOT = "SquareRoot"
+    SCHUR_COMPLEMENT = "SchurComplement"
+    POWER_SCHUR_COMPLEMENT = "PowerSchurComplement"
+
+
+class PreconditionerType(StrEnum):
+    IDENTITY = "Identity"
+    JACOBI = "Jacobi"
+    SCHUR_JACOBI = "SchurJacobi"
+    POWER_SCHUR_COMPLEMENT = "PowerSchurComplement"
+
+
+class OptimizedCost(StrEnum):
+    ERROR = "Error"
+    ERROR_VALID = "ErrorValid"
+    ERROR_VALID_AVG = "ErrorValidAvg"
+
+
+# ---------------------------------------------------------------------------
+# options structs (defaults mirror the reference's)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BalResidualOptions:
+    """Reference: src/rootba/bal/bal_residual_options.hpp:44-65."""
+
+    robust_norm: RobustNorm = opt(
+        RobustNorm.NONE, help="robust norm: None (squared) or Huber")
+    huber_parameter: float = opt(
+        1.0, help="huber parameter in pixels", range=(0, 10))
+
+
+@dataclass
+class BaLogOptions:
+    """Reference: src/rootba/bal/ba_log_options.hpp:43-60."""
+
+    log_path: str = opt("ba_log.json", help="path of BA log file")
+    save_log_flags: List[str] = opt(
+        lambda: ["json"], help="log file types to save: json and/or ubjson")
+    disable_all: bool = opt(False, help="don't log anything")
+
+
+@dataclass
+class BalDatasetOptions:
+    """Reference: src/rootba/bal/bal_dataset_options.hpp:44-95."""
+
+    input: str = opt("", help="input dataset file to load")
+    input_type: DatasetType = opt(
+        DatasetType.AUTO, help="type of dataset to load")
+    save_output: bool = opt(False, help="save optimization result")
+    output_optimized_path: str = opt(
+        "optimized.npz", help="output file for optimized problem")
+    normalize: bool = opt(
+        True, help="normalize scale and global position of the BA map")
+    normalization_scale: float = opt(100.0)
+    rotation_sigma: float = opt(
+        0.0, help="stddev of camera rotation perturbation")
+    translation_sigma: float = opt(
+        0.0, help="stddev of camera translation perturbation")
+    point_sigma: float = opt(0.0, help="stddev of point perturbation")
+    random_seed: int = opt(
+        38401, help="seed for the perturbation RNG; negative = random device")
+    init_depth_threshold: float = opt(
+        0.0, help="filter observations closer than this after load (0 = off)")
+    quiet: bool = opt(False, help="skip INFO output when loading data")
+
+
+@dataclass
+class SolverOptions:
+    """Reference: src/rootba/bal/solver_options.hpp:46-283."""
+
+    solver_type: SolverType = opt(
+        SolverType.SQUARE_ROOT,
+        help="SquareRoot | SchurComplement | PowerSchurComplement")
+    verbosity_level: int = opt(2, help="0 silent, 1 brief, 2 full",
+                               range=(0, 2))
+    debug: bool = opt(False, help="print extra debug info")
+    num_threads: int = opt(
+        0, help="host thread hint (0 = auto); XLA manages device parallelism")
+
+    residual: BalResidualOptions = suboptions(BalResidualOptions)
+    log: BaLogOptions = suboptions(BaLogOptions)
+
+    optimized_cost: OptimizedCost = opt(
+        OptimizedCost.ERROR,
+        help="cost used for the LM decrease check: Error | ErrorValid | "
+             "ErrorValidAvg")
+
+    max_num_iterations: int = opt(20, help="max LM iterations",
+                                  range=(0, 10000))
+    min_relative_decrease: float = opt(0.0)
+    initial_trust_region_radius: float = opt(1e4, logscale=True)
+    min_trust_region_radius: float = opt(1e-32, logscale=True)
+    max_trust_region_radius: float = opt(1e16, logscale=True)
+    min_lm_diagonal: float = opt(1e-6, logscale=True)
+    max_lm_diagonal: float = opt(1e32, logscale=True)
+    min_linear_solver_iterations: int = opt(0)
+    max_linear_solver_iterations: int = opt(500)
+    eta: float = opt(1e-1, help="CG forcing-sequence / q-tolerance")
+    jacobi_scaling: bool = opt(True)
+    jacobi_scaling_epsilon: float = opt(
+        0.0, help="0 means sqrt(machine eps) for the active dtype")
+    preconditioner_type: PreconditionerType = opt(
+        PreconditionerType.SCHUR_JACOBI)
+    function_tolerance: float = opt(1e-6)
+    gradient_tolerance: float = opt(0.0)
+    parameter_tolerance: float = opt(0.0)
+
+    use_double: bool = opt(
+        True, help="use float64 (CPU / emulated on TPU) instead of float32")
+    use_householder_marginalization: bool = opt(
+        True, help="kept for config parity; the TPU sqrt solver always uses "
+                   "batched Householder-QR projection")
+    staged_execution: bool = opt(
+        True, help="kept for config parity; stages are always fused on TPU")
+    reduction_alg: int = opt(
+        1, help="kept for config parity; TPU always uses segment-sum")
+    power_order: int = opt(
+        10, help="max inner iterations of Power SC preconditioner/solver")
+    initial_vee: float = opt(2.0)
+    vee_factor: float = opt(2.0)
+
+    # --- TPU-native additions ------------------------------------------------
+    num_devices: int = opt(
+        0, help="number of devices to shard landmark blocks over (0 = all)")
+    bucket_pow2_from: int = opt(
+        9, help="bucket obs-counts exactly up to this, then pad to pow2 "
+               "(mirrors the reference's static-size landmark blocks 2..8, "
+               "landmark_block.cpp:48-83)")
+
+    def use_projection_validity_check(self) -> bool:
+        return self.optimized_cost != OptimizedCost.ERROR
+
+
+@dataclass
+class BalAppOptions:
+    """Aggregate app options (reference bal_app_options.hpp:44-53)."""
+
+    dataset: BalDatasetOptions = suboptions(BalDatasetOptions)
+    solver: SolverOptions = suboptions(SolverOptions)
+
+
+# ---------------------------------------------------------------------------
+# generic visitation: dict <-> dataclass, TOML, flat CLI leaves
+# ---------------------------------------------------------------------------
+
+def to_dict(obj) -> Dict[str, Any]:
+    out = {}
+    for f in fields(obj):
+        v = getattr(obj, f.name)
+        if is_dataclass(v):
+            out[f.name] = to_dict(v)
+        elif isinstance(v, StrEnum):
+            out[f.name] = str(v)
+        else:
+            out[f.name] = v
+    return out
+
+
+def _convert(value, typ, path):
+    if isinstance(typ, type) and issubclass(typ, StrEnum):
+        if isinstance(value, typ):
+            return value
+        return typ.parse(str(value))
+    if typ is float and isinstance(value, (int, float)):
+        return float(value)
+    if typ is int:
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise ValueError(f"option {path}: expected int, got {value!r}")
+        return value
+    if typ is bool and not isinstance(value, bool):
+        raise ValueError(f"option {path}: expected bool, got {value!r}")
+    return value
+
+
+def update_from_dict(obj, d: Dict[str, Any], path="", unknown=None):
+    """In-place update from a (possibly partial) nested dict.
+
+    Collects unknown keys like the reference's unused-key detection
+    (options_interface.cpp:86-170).
+    """
+    hints = {f.name: f for f in fields(obj)}
+    for k, v in d.items():
+        p = f"{path}.{k}" if path else k
+        if k not in hints:
+            if unknown is not None:
+                unknown.append(p)
+            continue
+        f = hints[k]
+        cur = getattr(obj, k)
+        if is_dataclass(cur):
+            if not isinstance(v, dict):
+                raise ValueError(f"option {p}: expected table/dict")
+            update_from_dict(cur, v, p, unknown)
+        else:
+            setattr(obj, k, _convert(v, type(cur) if not isinstance(cur, StrEnum) else type(cur), p))
+    return obj
+
+
+def iter_leaves(obj, prefix=""):
+    """Yield (dotted_path, field, owner) for every leaf option."""
+    for f in fields(obj):
+        v = getattr(obj, f.name)
+        p = f"{prefix}.{f.name}" if prefix else f.name
+        if is_dataclass(v):
+            yield from iter_leaves(v, p)
+        else:
+            yield p, f, obj
+
+
+def load_toml(path: str):
+    import tomllib
+
+    with open(path, "rb") as fp:
+        return tomllib.load(fp)
+
+
+def dump_toml(obj, fp=None):
+    """Dump options as TOML text (simple writer, no external deps)."""
+    lines: List[str] = []
+
+    def fmt(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int,)):
+            return str(v)
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, StrEnum):
+            return f'"{v}"'
+        if isinstance(v, str):
+            return f'"{v}"'
+        if isinstance(v, list):
+            return "[" + ", ".join(fmt(x) for x in v) + "]"
+        raise TypeError(f"cannot dump {type(v)}")
+
+    def walk(o, prefix):
+        scalars = []
+        nested = []
+        for f in fields(o):
+            v = getattr(o, f.name)
+            if is_dataclass(v):
+                nested.append((f.name, v))
+            else:
+                scalars.append((f.name, v))
+        if prefix:
+            lines.append(f"[{prefix}]")
+        for name, v in scalars:
+            lines.append(f"{name} = {fmt(v)}")
+        lines.append("")
+        for name, v in nested:
+            walk(v, f"{prefix}.{name}" if prefix else name)
+
+    walk(obj, "")
+    text = "\n".join(lines)
+    if fp is not None:
+        fp.write(text)
+    return text
