@@ -36,13 +36,15 @@ def suboptions(cls):
 # ---------------------------------------------------------------------------
 
 class StrEnum(str, enum.Enum):
+    """String enum with reference-compatible (wise_enum) names."""
+
     def __str__(self) -> str:  # noqa: DunderStr
         return self.value
 
     @classmethod
     def parse(cls, s: str):
         try:
-            return cls(s)
+            return cls(str(s).upper())
         except ValueError:
             valid = ", ".join(m.value for m in cls)
             raise ValueError(
@@ -51,34 +53,34 @@ class StrEnum(str, enum.Enum):
 
 
 class DatasetType(StrEnum):
-    AUTO = "Auto"
-    ROOTBA = "Rootba"
-    BAL = "Bal"
-    BUNDLER = "Bundler"
+    AUTO = "AUTO"
+    ROOTBA = "ROOTBA"
+    BAL = "BAL"
+    BUNDLER = "BUNDLER"
 
 
 class RobustNorm(StrEnum):
-    NONE = "None"
-    HUBER = "Huber"
+    NONE = "NONE"
+    HUBER = "HUBER"
 
 
 class SolverType(StrEnum):
-    SQUARE_ROOT = "SquareRoot"
-    SCHUR_COMPLEMENT = "SchurComplement"
-    POWER_SCHUR_COMPLEMENT = "PowerSchurComplement"
+    SQUARE_ROOT = "SQUARE_ROOT"
+    SCHUR_COMPLEMENT = "SCHUR_COMPLEMENT"
+    POWER_SCHUR_COMPLEMENT = "POWER_SCHUR_COMPLEMENT"
 
 
 class PreconditionerType(StrEnum):
-    IDENTITY = "Identity"
-    JACOBI = "Jacobi"
-    SCHUR_JACOBI = "SchurJacobi"
-    POWER_SCHUR_COMPLEMENT = "PowerSchurComplement"
+    IDENTITY = "IDENTITY"
+    JACOBI = "JACOBI"
+    SCHUR_JACOBI = "SCHUR_JACOBI"
+    POWER_SCHUR_COMPLEMENT = "POWER_SCHUR_COMPLEMENT"
 
 
 class OptimizedCost(StrEnum):
-    ERROR = "Error"
-    ERROR_VALID = "ErrorValid"
-    ERROR_VALID_AVG = "ErrorValidAvg"
+    ERROR = "ERROR"
+    ERROR_VALID = "ERROR_VALID"
+    ERROR_VALID_AVG = "ERROR_VALID_AVG"
 
 
 # ---------------------------------------------------------------------------
@@ -101,7 +103,7 @@ class BaLogOptions:
 
     log_path: str = opt("ba_log.json", help="path of BA log file")
     save_log_flags: List[str] = opt(
-        lambda: ["json"], help="log file types to save: json and/or ubjson")
+        lambda: ["JSON"], help="log file types to save: JSON and/or UBJSON")
     disable_all: bool = opt(False, help="don't log anything")
 
 

@@ -87,7 +87,7 @@ def accumulate_residual_info(
 
     def item(m):
         return ResidualItem(
-            num_obs=jnp.sum(m).astype(jnp.int64 if acc_dtype == jnp.float64 else jnp.int32),
+            num_obs=jnp.sum(m).astype(jnp.int32),
             error=jnp.sum(weighted_error.astype(acc_dtype) * m),
             residual_sum=jnp.sum(res_norm.astype(acc_dtype) * m),
         )
@@ -116,6 +116,6 @@ def join_residual_info(a: ResidualInfo, b: ResidualInfo) -> ResidualInfo:
 
 def empty_residual_info(acc_dtype=jnp.float64) -> ResidualInfo:
     zero = jnp.zeros((), acc_dtype)
-    izero = jnp.zeros((), jnp.int64 if acc_dtype == jnp.float64 else jnp.int32)
+    izero = jnp.zeros((), jnp.int32)
     item = ResidualItem(num_obs=izero, error=zero, residual_sum=zero)
     return ResidualInfo(all=item, valid=item, is_numerically_valid=jnp.asarray(True))

@@ -1,0 +1,471 @@
+"""Explicit Schur complement and Power-SC (PoBA) solvers, TPU-native.
+
+Re-design of the reference sc module (sc/landmark_block.hpp,
+sc/linearization_sc.hpp, sc/linearization_power_sc.hpp):
+
+* The reduced camera system H_pp is stored as a flat array of unique
+  9x9 camera-pair blocks [P, 9, 9] with (row, col) index vectors -- the
+  TPU replacement for the tbb::concurrent_unordered_map keyed block
+  storage (cg/block_sparse_matrix.hpp:150-310). Assembly is one
+  segment-sum over all (obs_i, obs_j) pair contributions per bucket,
+  replacing the num_cams^2 mutex scatter (sc/landmark_block.hpp:282-338).
+* Hll^-1 is a batched closed-form 3x3 cofactor inverse (the reference
+  uses Eigen's 3x3 .inverse(), sc/landmark_block.hpp:228-232).
+* PoBA evaluates x = sum_i (Hpp^-1 E0)^i Hpp^-1 (-b) with the implicit
+  e0 sweep Jp^T (Jl (Hll^-1 (Jl^T (Jp x)))) and the zeta = i |tmp|/|acc|
+  convergence test (sc/linearization_power_sc.hpp:127-154, :250-272).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rootba_tpu.config.options import PreconditionerType, SolverOptions
+from rootba_tpu.core import lie
+from rootba_tpu.log.summary import IterationSummary
+from rootba_tpu.solver.cg import pcg
+from rootba_tpu.solver.linearization import POSE_SIZE, CamState
+from rootba_tpu.solver.sqrt_qr import precond_apply
+
+P9 = POSE_SIZE
+
+
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse (cofactor expansion)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / det
+    M = jnp.stack([
+        jnp.stack([A11, A12, A13], axis=-1),
+        jnp.stack([A21, A22, A23], axis=-1),
+        jnp.stack([A31, A32, A33], axis=-1),
+    ], axis=-2)
+    return M * inv_det[..., None, None]
+
+
+def damped_hll_inv(lin, bucket, lam) -> jnp.ndarray:
+    """(Jl_s' Jl_s + lam I)^-1 per landmark, zeroed for padded landmark
+    rows (whose Jl is all-zero and would otherwise produce NaN at
+    lam = 0; the reference has no padded rows)."""
+    dtype = lin.Jl.dtype
+    L, n = lin.Jl.shape[0], lin.Jl.shape[1]
+    Jl2 = lin.Jl.reshape(L, 2 * n, 3)
+    Hll = jnp.einsum("lrc,lrd->lcd", Jl2, Jl2) + \
+        lam.astype(dtype) * jnp.eye(3, dtype=dtype)
+    inv = inv3x3(Hll)
+    return jnp.where(bucket.lm_mask[:, None, None], inv, 0.0)
+
+
+class PairStructure(NamedTuple):
+    """Static sparsity of the RCS (computed once on host)."""
+
+    pair_row: jnp.ndarray  # [P] int32
+    pair_col: jnp.ndarray  # [P] int32
+    pair_ids: Tuple[jnp.ndarray, ...]  # per bucket [L,n,n] int32 (P = dummy)
+    diag_pid: jnp.ndarray  # [N] int32 (P = camera unobserved)
+    num_pairs: int
+
+
+def build_pair_structure(bp, num_cameras: int) -> PairStructure:
+    N = num_cameras
+    codes_list = []
+    for b in bp.buckets:
+        rows = b.cam_idx[:, :, None].astype(np.int64)
+        cols = b.cam_idx[:, None, :].astype(np.int64)
+        valid = b.mask[:, :, None] & b.mask[:, None, :]
+        code = np.where(valid, rows * N + cols, N * N)
+        codes_list.append(code)
+    valid_codes = np.concatenate(
+        [c[c < N * N].ravel() for c in codes_list]) if codes_list else \
+        np.zeros(0, np.int64)
+    unique = np.unique(valid_codes)
+    P = unique.size
+    pair_ids = tuple(
+        jnp.asarray(np.searchsorted(unique, c).astype(np.int32))
+        for c in codes_list)
+    diag_codes = np.arange(N, dtype=np.int64) * (N + 1)
+    pos = np.searchsorted(unique, diag_codes)
+    pos_clipped = np.minimum(pos, max(P - 1, 0))
+    exists = (P > 0) & (unique[pos_clipped] == diag_codes)
+    diag_pid = np.where(exists, pos, P).astype(np.int32)
+    return PairStructure(
+        pair_row=jnp.asarray((unique // N).astype(np.int32)),
+        pair_col=jnp.asarray((unique % N).astype(np.int32)),
+        pair_ids=pair_ids,
+        diag_pid=jnp.asarray(diag_pid),
+        num_pairs=P,
+    )
+
+
+class SCStage2(NamedTuple):
+    H: jnp.ndarray  # [P, 9, 9] RCS blocks (pose damping included)
+    b: jnp.ndarray  # [N, 9]
+    Hll_inv: Tuple[jnp.ndarray, ...]  # per bucket [L,3,3] (damped)
+    lam: jnp.ndarray
+
+
+def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras):
+    """get_Hb (sc/linearization_sc.hpp:232-348 + landmark_block add_Hb)."""
+    dtype = lins[0].Jp.dtype
+    P = pairs.num_pairs
+    H = jnp.zeros((P + 1, P9, P9), dtype)
+    b = jnp.zeros((num_cameras, P9), dtype)
+    Hll_invs = []
+    for lin, bucket, pid in zip(lins, buckets, pairs.pair_ids):
+        L, n = lin.Jp.shape[0], lin.Jp.shape[1]
+        Jl2 = lin.Jl.reshape(L, 2 * n, 3)
+        r2 = lin.r.reshape(L, 2 * n)
+        Hll_inv = damped_hll_inv(lin, bucket, lam)
+        Hll_invs.append(Hll_inv)
+        bl = jnp.einsum("lrc,lr->lc", Jl2, r2)
+        hbl = jnp.einsum("lcd,ld->lc", Hll_inv, bl)
+
+        rr = lin.r - jnp.einsum("lnrc,lc->lnr", lin.Jl, hbl)
+        yb = jnp.einsum("lnrj,lnr->lnj", lin.Jp, rr)
+        b = b + jax.ops.segment_sum(
+            yb.reshape(-1, P9), bucket.cam_idx.reshape(-1),
+            num_segments=num_cameras)
+
+        # diagonal Jp_i' Jp_i at pair (c_i, c_i)
+        D = jnp.einsum("lnri,lnrj->lnij", lin.Jp, lin.Jp)
+        diag_pid_b = pid[:, jnp.arange(n), jnp.arange(n)]  # [L,n]
+        H = H + jax.ops.segment_sum(
+            D.reshape(-1, P9, P9), diag_pid_b.reshape(-1),
+            num_segments=P + 1)
+
+        # SC coupling -Jp_i' Jl_i Hll^-1 Jl_j' Jp_j at pair (c_i, c_j)
+        T = jnp.einsum("lnrc,lnrj->lncj", lin.Jl, lin.Jp)  # [L,n,3,9]
+        HT = jnp.einsum("lcd,lndj->lncj", Hll_inv, T)
+        M = jnp.einsum("lnci,lmcj->lnmij", T, HT)  # [L,n,n,9,9]
+        H = H + jax.ops.segment_sum(
+            (-M).reshape(-1, P9, P9), pid.reshape(-1), num_segments=P + 1)
+
+    # pose damping on the diagonal blocks (linearization_sc.hpp:317-320)
+    eye9 = jnp.eye(P9, dtype=dtype)
+    H = H.at[pairs.diag_pid].add(
+        jnp.broadcast_to(lam.astype(dtype) * eye9,
+                         (num_cameras, P9, P9)))
+    return SCStage2(H=H[:P], b=b, Hll_inv=tuple(Hll_invs),
+                    lam=jnp.asarray(lam, dtype))
+
+
+def sc_matvec(stage2: SCStage2, pairs: PairStructure, num_cameras, x):
+    """Block-sparse matvec (cg/block_sparse_matrix.hpp:223-249)."""
+    xg = x[pairs.pair_col]  # [P,9]
+    y = jnp.einsum("pij,pj->pi", stage2.H, xg)
+    return jax.ops.segment_sum(y, pairs.pair_row, num_segments=num_cameras)
+
+
+def sc_diag_blocks(stage2: SCStage2, pairs: PairStructure, num_cameras):
+    """Per-camera diagonal 9x9 blocks of the assembled RCS."""
+    dtype = stage2.H.dtype
+    padded = jnp.concatenate(
+        [stage2.H,
+         jnp.zeros((1, P9, P9), dtype)], axis=0)
+    blocks = padded[pairs.diag_pid]
+    # unobserved cameras: fall back to lam * I
+    missing = pairs.diag_pid >= stage2.H.shape[0]
+    fallback = stage2.lam.astype(dtype) * jnp.eye(P9, dtype=dtype)
+    return jnp.where(missing[:, None, None], fallback, blocks)
+
+
+def jp_gram_blockdiag(lins, buckets, lam, num_cameras):
+    """Damped Jp'Jp block diagonal = get_jacobi
+    (sc/linearization_sc.hpp:244-268)."""
+    dtype = lins[0].Jp.dtype
+    blocks = jnp.zeros((num_cameras, P9, P9), dtype)
+    for lin, bucket in zip(lins, buckets):
+        blk = jnp.einsum("lnri,lnrj->lnij", lin.Jp, lin.Jp)
+        blocks = blocks + jax.ops.segment_sum(
+            blk.reshape(-1, P9, P9), bucket.cam_idx.reshape(-1),
+            num_segments=num_cameras)
+    return blocks + lam.astype(dtype) * jnp.eye(P9, dtype=dtype)
+
+
+def e0_matvec(lins, buckets, Hll_invs, num_cameras, x):
+    """E0 x = Jp' Jl Hll^-1 Jl' Jp x (sc/linearization_power_sc.hpp:250-272)."""
+    y = jnp.zeros_like(x)
+    for lin, bucket, Hll_inv in zip(lins, buckets, Hll_invs):
+        xg = x[bucket.cam_idx]
+        w = jnp.einsum("lnrj,lnj->lnr", lin.Jp, xg)  # Jp x
+        t = jnp.einsum("lnrc,lnr->lc", lin.Jl, w)  # Jl' (Jp x)
+        t = jnp.einsum("lcd,ld->lc", Hll_inv, t)
+        w = jnp.einsum("lnrc,lc->lnr", lin.Jl, t)  # Jl Hll^-1 ...
+        yb = jnp.einsum("lnrj,lnr->lnj", lin.Jp, w)
+        y = y + jax.ops.segment_sum(
+            yb.reshape(-1, P9), bucket.cam_idx.reshape(-1),
+            num_segments=num_cameras)
+    return y
+
+
+def power_series_solve(apply_hpp_inv, apply_e0, b, order: int,
+                       q_tolerance: float):
+    """x = sum_{i=0..order} (Hpp^-1 E0)^i Hpp^-1 (-b), zeta-terminated
+    (sc/linearization_power_sc.hpp:127-154). Returns (x, iters)."""
+    x0 = apply_hpp_inv(-b)
+
+    def cond(state):
+        i, tmp, acc, done = state
+        return (~done) & (i < order)
+
+    def body(state):
+        i, tmp, acc, done = state
+        i = i + 1
+        tmp = apply_hpp_inv(apply_e0(tmp))
+        acc = acc + tmp
+        zeta = i.astype(b.dtype) * jnp.linalg.norm(tmp.ravel()) / \
+            jnp.linalg.norm(acc.ravel())
+        return (i, tmp, acc, done | (zeta < q_tolerance))
+
+    i0 = jnp.asarray(0, jnp.int32)
+    i, tmp, acc, done = jax.lax.while_loop(
+        cond, body, (i0, x0, x0, jnp.asarray(False)))
+    return acc, i
+
+
+def sc_back_substitute(lins, buckets, Hll_invs, lm_ps, pose_inc):
+    """Reference sc/landmark_block.hpp:409-446 back_substitute:
+    dl = -Hll_lam^-1 Jl'(r + Jp dp); l_diff -= v'(0.5 v + r)."""
+    l_diff = jnp.zeros((), jnp.result_type(pose_inc.dtype, jnp.float32))
+    new_lm_ps = []
+    for lin, bucket, Hll_inv, lm_p in zip(lins, buckets, Hll_invs, lm_ps):
+        xg = pose_inc[bucket.cam_idx]
+        w = jnp.einsum("lnrj,lnj->lnr", lin.Jp, xg)
+        u = lin.r + w
+        t = jnp.einsum("lnrc,lnr->lc", lin.Jl, u)
+        dl_s = -jnp.einsum("lcd,ld->lc", Hll_inv, t)
+        dl_s = jnp.where(bucket.lm_mask[:, None], dl_s, 0.0)
+
+        v = w + jnp.einsum("lnrc,lc->lnr", lin.Jl, dl_s)
+        l_diff = l_diff - jnp.sum(v * (0.5 * v + lin.r))
+
+        dl = dl_s * lin.Jl_scale
+        new_lm_ps.append(lm_p + dl.astype(lm_p.dtype))
+    return tuple(new_lm_ps), l_diff
+
+
+# ---------------------------------------------------------------------------
+# Linearizer facades
+# ---------------------------------------------------------------------------
+
+from rootba_tpu.solver.lm import BAState, LinearizerBase  # noqa: E402
+
+
+class SCLinearizer(LinearizerBase):
+    """SCHUR_COMPLEMENT solver (reference solver/linearizor_sc.cpp)."""
+
+    linear_solver_type = "bal_sc"
+
+    def __init__(self, bp, options: SolverOptions, dtype, mesh=None):
+        self.bp = bp
+        super().__init__(bp, options, dtype, mesh)
+
+    def _build(self):
+        opts = self.options
+        self.pairs = build_pair_structure(self.bp, self.num_cameras)
+        precond_type = opts.preconditioner_type
+        if precond_type not in (PreconditionerType.SCHUR_JACOBI,
+                                PreconditionerType.POWER_SCHUR_COMPLEMENT):
+            raise ValueError(
+                f"preconditioner {precond_type} not implemented for the "
+                f"SCHUR_COMPLEMENT solver")
+
+        from rootba_tpu.solver.linearization import compute_error_buckets
+
+        def error_fn(cams, lm_ps):
+            return compute_error_buckets(
+                cams, lm_ps, self.buckets, self.robust_norm, self.huber)
+
+        def stage1_fn(cams, lm_ps):
+            return self._stage1_common(cams, lm_ps)
+
+        def solve_fn(lins, lam):
+            stage2 = sc_assemble(lins, self.buckets, self.pairs, lam,
+                                 self.num_cameras)
+
+            def matvec(x):
+                return sc_matvec(stage2, self.pairs, self.num_cameras, x)
+
+            if precond_type == PreconditionerType.SCHUR_JACOBI:
+                chol = jnp.linalg.cholesky(
+                    sc_diag_blocks(stage2, self.pairs, self.num_cameras))
+
+                def precond(r):
+                    return precond_apply(chol, r)
+            else:
+                jacobi = jp_gram_blockdiag(lins, self.buckets, lam,
+                                           self.num_cameras)
+                # SPD -> Cholesky solves (reference uses llt().solve(I),
+                # preconditioner.hpp:169-174; solves are equivalent)
+                hpp_chol = jnp.linalg.cholesky(jacobi)
+
+                def apply_hpp_inv(v):
+                    return precond_apply(hpp_chol, v)
+
+                def apply_e0(v):
+                    return e0_matvec(lins, self.buckets, stage2.Hll_inv,
+                                     self.num_cameras, v)
+
+                def precond(r):
+                    # power_series_solve(v) = sum_i (Hpp^-1 E0)^i Hpp^-1 (-v);
+                    # the preconditioner applies the series to +r
+                    # (PowerSCPreconditioner::solve_assign, fixed order,
+                    # no tolerance) -> pass -r.
+                    x, _ = power_series_solve(
+                        apply_hpp_inv, apply_e0, -r, opts.power_order,
+                        q_tolerance=-1.0)
+                    return x
+
+            res = pcg(
+                matvec, precond, stage2.b,
+                min_num_iterations=opts.min_linear_solver_iterations,
+                max_num_iterations=opts.max_linear_solver_iterations,
+                q_tolerance=opts.eta,
+                r_tolerance=-1.0,
+            )
+            return (-res.x, stage2, res.num_iterations,
+                    res.termination_type)
+
+        def apply_fn(cams, lm_ps, lins, stage2, pose_scale, inc):
+            new_lm_ps, l_diff = sc_back_substitute(
+                lins, self.buckets, stage2.Hll_inv, lm_ps, inc)
+            inc_scaled = inc * pose_scale
+            q, t = lie.apply_inc_pose(cams.q, cams.t, inc_scaled[:, :6])
+            intr = cams.intr + inc_scaled[:, 6:9]
+            return CamState(q=q, t=t, intr=intr), new_lm_ps, l_diff
+
+        self._error_fn = jax.jit(error_fn)
+        self._stage1_fn = jax.jit(stage1_fn)
+        self._solve_fn = jax.jit(solve_fn)
+        self._apply_fn = jax.jit(apply_fn)
+
+    # linearize/solve/apply share the Sqrt implementations' shape
+    def linearize(self):
+        t0 = time.monotonic()
+        lins, pose_scale, failures = jax.block_until_ready(
+            self._stage1_fn(self.state.cams, self.state.lm_ps))
+        if int(failures) > 0:
+            raise FloatingPointError("numerical failure during linearization")
+        self._lins = lins
+        self._pose_scale = pose_scale
+        if self.it_summary is not None:
+            self.it_summary.stage1_time_in_seconds = time.monotonic() - t0
+            self.it_summary.jacobian_evaluation_time_in_seconds = (
+                self.it_summary.stage1_time_in_seconds)
+        if self.summary is not None:
+            self.summary.num_jacobian_evaluations += 1
+
+    def solve(self, lam: float):
+        t0 = time.monotonic()
+        lam_arr = jnp.asarray(lam, self.dtype)
+        inc, stage2, cg_iters, cg_term = jax.block_until_ready(
+            self._solve_fn(self._lins, lam_arr))
+        self._stage2 = stage2
+        if self.it_summary is not None:
+            dt = time.monotonic() - t0
+            self.it_summary.prepare_time_in_seconds = dt * 0.5
+            self.it_summary.solve_reduced_system_time_in_seconds = dt * 0.5
+            self.it_summary.linear_solver_iterations = int(cg_iters)
+            self.it_summary.linear_solver_type = self.linear_solver_type
+        if self.summary is not None:
+            self.summary.num_linear_solves += 1
+        return inc
+
+    def apply(self, inc):
+        t0 = time.monotonic()
+        cams, lm_ps, l_diff = jax.block_until_ready(self._apply_fn(
+            self.state.cams, self.state.lm_ps, self._lins, self._stage2,
+            self._pose_scale, inc))
+        if self.it_summary is not None:
+            self.it_summary.back_substitution_time_in_seconds = (
+                time.monotonic() - t0)
+        return BAState(cams=cams, lm_ps=lm_ps), float(l_diff)
+
+
+class PowerSCLinearizer(SCLinearizer):
+    """POWER_SCHUR_COMPLEMENT solver (reference
+    solver/linearizor_power_sc.cpp): power-series solve, no CG and no
+    explicit RCS assembly."""
+
+    linear_solver_type = "bal_power_sc"
+
+    def _build(self):
+        opts = self.options
+
+        from rootba_tpu.solver.linearization import compute_error_buckets
+
+        def error_fn(cams, lm_ps):
+            return compute_error_buckets(
+                cams, lm_ps, self.buckets, self.robust_norm, self.huber)
+
+        def stage1_fn(cams, lm_ps):
+            return self._stage1_common(cams, lm_ps)
+
+        def solve_fn(lins, lam):
+            dtype = lins[0].Jp.dtype
+            # per-bucket damped Hll^-1 + RHS b (landmark_block stage())
+            Hll_invs = []
+            b = jnp.zeros((self.num_cameras, P9), dtype)
+            for lin, bucket in zip(lins, self.buckets):
+                L, n = lin.Jp.shape[0], lin.Jp.shape[1]
+                Jl2 = lin.Jl.reshape(L, 2 * n, 3)
+                r2 = lin.r.reshape(L, 2 * n)
+                Hll_inv = damped_hll_inv(lin, bucket, lam)
+                Hll_invs.append(Hll_inv)
+                bl = jnp.einsum("lrc,lr->lc", Jl2, r2)
+                hbl = jnp.einsum("lcd,ld->lc", Hll_inv, bl)
+                rr = lin.r - jnp.einsum("lnrc,lc->lnr", lin.Jl, hbl)
+                yb = jnp.einsum("lnrj,lnr->lnj", lin.Jp, rr)
+                b = b + jax.ops.segment_sum(
+                    yb.reshape(-1, P9), bucket.cam_idx.reshape(-1),
+                    num_segments=self.num_cameras)
+            Hll_invs = tuple(Hll_invs)
+
+            hpp = jp_gram_blockdiag(lins, self.buckets, lam,
+                                    self.num_cameras)
+            # SPD -> Cholesky solves (reference llt(),
+            # sc/linearization_power_sc.hpp:111-124)
+            hpp_chol = jnp.linalg.cholesky(hpp)
+
+            def apply_hpp_inv(v):
+                return precond_apply(hpp_chol, v)
+
+            def apply_e0(v):
+                return e0_matvec(lins, self.buckets, Hll_invs,
+                                 self.num_cameras, v)
+
+            inc, iters = power_series_solve(
+                apply_hpp_inv, apply_e0, b, opts.power_order,
+                q_tolerance=opts.eta)
+            stage2 = SCStage2(H=jnp.zeros((0, P9, P9), dtype), b=b,
+                              Hll_inv=Hll_invs, lam=jnp.asarray(lam, dtype))
+            return inc, stage2, iters, jnp.asarray(1, jnp.int32)
+
+        def apply_fn(cams, lm_ps, lins, stage2, pose_scale, inc):
+            new_lm_ps, l_diff = sc_back_substitute(
+                lins, self.buckets, stage2.Hll_inv, lm_ps, inc)
+            inc_scaled = inc * pose_scale
+            q, t = lie.apply_inc_pose(cams.q, cams.t, inc_scaled[:, :6])
+            intr = cams.intr + inc_scaled[:, 6:9]
+            return CamState(q=q, t=t, intr=intr), new_lm_ps, l_diff
+
+        self._error_fn = jax.jit(error_fn)
+        self._stage1_fn = jax.jit(stage1_fn)
+        self._solve_fn = jax.jit(solve_fn)
+        self._apply_fn = jax.jit(apply_fn)

@@ -1,0 +1,581 @@
+"""Levenberg-Marquardt driver and the Linearizer facade.
+
+Control flow is a faithful re-implementation of the reference minimizer
+optimize_lm_ours (solver/bal_bundle_adjustment.cpp:249-544): outer loop
+per linearization point, inner backtracking loop reusing the
+linearization with increasing lambda, trust-region update
+lambda *= max(1/3, 1-(2 rho-1)^3) on success and lambda *= vee on
+reject, NaN-increment / invalid-cost handling, and termination on
+function tolerance, lambda > lambda_max, or iteration cap.
+
+The linearizers compile their stages with jit; the driver is host-side
+orchestration holding the functional device state (CamState + per-bucket
+landmark positions). backup()/restore() becomes keeping the previous
+pytree (reference bal_problem.cpp:590-608 copies state instead).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rootba_tpu.bal.bucketing import BucketedProblem, bucketize, scatter_landmarks
+from rootba_tpu.bal.problem import BalProblem, PipelineTimingSummary
+from rootba_tpu.config.options import (
+    OptimizedCost,
+    PreconditionerType,
+    RobustNorm,
+    SolverOptions,
+    SolverType,
+)
+from rootba_tpu.core import lie
+from rootba_tpu.log.summary import (
+    CONVERGENCE,
+    NO_CONVERGENCE,
+    IterationSummary,
+    ResidualInfoHost,
+    SolverSummary,
+    error_summary_oneline,
+    finish_iteration,
+    finish_solve,
+)
+from rootba_tpu.solver import sqrt_qr
+from rootba_tpu.solver.cg import pcg
+from rootba_tpu.solver.linearization import (
+    POSE_SIZE,
+    BucketIndex,
+    CamState,
+    compute_error_buckets,
+    jp_diag2,
+    linearize_bucket,
+    scale_jl_cols,
+    scale_jp_cols,
+)
+
+
+class BAState(NamedTuple):
+    cams: CamState
+    lm_ps: Tuple[jnp.ndarray, ...]
+
+
+def _sophus_eps_sqrt(dtype) -> float:
+    """Sophus::Constants<Scalar>::epsilonSqrt() as used by
+    get_effective_jacobi_scaling_epsilon (linearizor_base.cpp:73-79)."""
+    return 1e-5 if jnp.dtype(dtype).itemsize >= 8 else math.sqrt(1e-5)
+
+
+def make_bucket_indices(bp: BucketedProblem, dtype) -> Tuple[BucketIndex, ...]:
+    out = []
+    for b in bp.buckets:
+        out.append(BucketIndex(
+            obs_uv=jnp.asarray(b.obs_uv, dtype),
+            cam_idx=jnp.asarray(b.cam_idx, jnp.int32),
+            mask=jnp.asarray(b.mask),
+            lm_mask=jnp.asarray(b.lm_mask),
+        ))
+    return tuple(out)
+
+
+def initial_state(bp: BucketedProblem, dtype) -> BAState:
+    cams = CamState(
+        q=jnp.asarray(bp.cam_q0, dtype),
+        t=jnp.asarray(bp.cam_t0, dtype),
+        intr=jnp.asarray(bp.cam_intr0, dtype),
+    )
+    lm_ps = tuple(jnp.asarray(p, dtype) for p in bp.lm_p0)
+    return BAState(cams=cams, lm_ps=lm_ps)
+
+
+class LinearizerBase:
+    """Facade shared by the three manual solvers (reference
+    solver/linearizor.hpp:47-83)."""
+
+    linear_solver_type = "?"
+
+    def __init__(self, bp: BucketedProblem, options: SolverOptions, dtype,
+                 mesh=None):
+        self.options = options
+        self.dtype = jnp.dtype(dtype)
+        self.num_cameras = bp.num_cameras
+        self.mesh = mesh
+        self.buckets = make_bucket_indices(bp, self.dtype)
+        if mesh is not None:
+            from rootba_tpu.parallel.mesh import shard_bucket_index
+
+            self.buckets = tuple(
+                shard_bucket_index(b, mesh) for b in self.buckets)
+        self.robust_norm = (1 if options.residual.robust_norm
+                            == RobustNorm.HUBER else 0)
+        self.huber = float(options.residual.huber_parameter)
+        eps = options.jacobi_scaling_epsilon
+        self.jacobi_eps = float(eps) if eps > 0 else _sophus_eps_sqrt(dtype)
+        self.it_summary: Optional[IterationSummary] = None
+        self.summary: Optional[SolverSummary] = None
+        self._build()
+
+    # -- helpers -------------------------------------------------------
+    def start_iteration(self, it_summary: IterationSummary):
+        self.it_summary = it_summary
+
+    def finish_iteration(self):
+        pass
+
+    def compute_error(self) -> ResidualInfoHost:
+        t0 = time.monotonic()
+        info = self._error_fn(self.state.cams, self.state.lm_ps)
+        info = jax.block_until_ready(info)
+        if self.it_summary is not None:
+            self.it_summary.residual_evaluation_time_in_seconds += (
+                time.monotonic() - t0)
+        if self.summary is not None:
+            self.summary.num_residual_evaluations += 1
+        return ResidualInfoHost.from_device(info)
+
+    def _stage1_common(self, cams, lm_ps):
+        """Linearize all buckets, jl scaling, pose jacobi scaling."""
+        lins = []
+        diag2 = jnp.zeros((self.num_cameras, POSE_SIZE), self.dtype)
+        failures = jnp.zeros((), jnp.int32)
+        for lm_p, bucket in zip(lm_ps, self.buckets):
+            lin, nfail = linearize_bucket(
+                cams, lm_p, bucket, self.robust_norm, self.huber,
+                self.options.use_projection_validity_check(),
+                self.jacobi_eps)
+            lin = scale_jl_cols(lin, self.jacobi_eps)
+            diag2 = diag2 + jp_diag2(lin, bucket.cam_idx, self.num_cameras)
+            failures = failures + nfail
+            lins.append(lin)
+        if self.options.jacobi_scaling:
+            pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(diag2))
+        else:
+            pose_scale = jnp.ones_like(diag2)
+        lins = tuple(
+            scale_jp_cols(lin, bucket.cam_idx, pose_scale)
+            for lin, bucket in zip(lins, self.buckets))
+        return lins, pose_scale, failures
+
+    # -- interface -----------------------------------------------------
+    def set_state(self, state: BAState):
+        self.state = state
+
+    def linearize(self):
+        raise NotImplementedError
+
+    def solve(self, lam: float) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def apply(self, inc: jnp.ndarray) -> Tuple[BAState, float]:
+        raise NotImplementedError
+
+
+class SqrtLinearizer(LinearizerBase):
+    """SQUARE_ROOT solver (reference solver/linearizor_qr.cpp)."""
+
+    linear_solver_type = "bal_qr"
+
+    def _build(self):
+        opts = self.options
+        precond_jacobi = (opts.preconditioner_type
+                          == PreconditionerType.JACOBI)
+        if opts.preconditioner_type not in (
+                PreconditionerType.JACOBI, PreconditionerType.SCHUR_JACOBI):
+            raise ValueError(
+                f"preconditioner {opts.preconditioner_type} not implemented "
+                f"for the SQUARE_ROOT solver")
+
+        def error_fn(cams, lm_ps):
+            return compute_error_buckets(
+                cams, lm_ps, self.buckets, self.robust_norm, self.huber)
+
+        def stage1_fn(cams, lm_ps):
+            return self._stage1_common(cams, lm_ps)
+
+        def solve_fn(lins, lam):
+            stage2 = sqrt_qr.sqrt_stage2(
+                lins, self.buckets, lam, self.num_cameras,
+                precond_jacobi=precond_jacobi)
+
+            def matvec(x):
+                return sqrt_qr.sqrt_matvec(
+                    lins, self.buckets, stage2, self.num_cameras, x)
+
+            def precond(r):
+                return sqrt_qr.precond_apply(stage2.precond_chol, r)
+
+            res = pcg(
+                matvec, precond, stage2.b,
+                min_num_iterations=opts.min_linear_solver_iterations,
+                max_num_iterations=opts.max_linear_solver_iterations,
+                q_tolerance=opts.eta,
+                r_tolerance=-1.0,
+            )
+            # we solve H(-x) = b -> negate (linearizor_base.cpp:99-101)
+            return (-res.x, stage2, res.num_iterations,
+                    res.termination_type)
+
+        def apply_fn(cams, lm_ps, lins, stage2, pose_scale, inc):
+            new_lm_ps, l_diff = sqrt_qr.sqrt_back_substitute(
+                lins, self.buckets, stage2, lm_ps, inc)
+            inc_scaled = inc * pose_scale
+            q, t = lie.apply_inc_pose(cams.q, cams.t, inc_scaled[:, :6])
+            intr = cams.intr + inc_scaled[:, 6:9]
+            return CamState(q=q, t=t, intr=intr), new_lm_ps, l_diff
+
+        self._error_fn = jax.jit(error_fn)
+        self._stage1_fn = jax.jit(stage1_fn)
+        self._solve_fn = jax.jit(solve_fn)
+        self._apply_fn = jax.jit(apply_fn)
+
+    def linearize(self):
+        t0 = time.monotonic()
+        lins, pose_scale, failures = jax.block_until_ready(
+            self._stage1_fn(self.state.cams, self.state.lm_ps))
+        if int(failures) > 0:
+            raise FloatingPointError(
+                f"numerical failure during linearization "
+                f"({int(failures)} observations)")
+        self._lins = lins
+        self._pose_scale = pose_scale
+        if self.it_summary is not None:
+            self.it_summary.stage1_time_in_seconds = time.monotonic() - t0
+            self.it_summary.jacobian_evaluation_time_in_seconds = (
+                self.it_summary.stage1_time_in_seconds)
+        if self.summary is not None:
+            self.summary.num_jacobian_evaluations += 1
+
+    def solve(self, lam: float) -> jnp.ndarray:
+        t0 = time.monotonic()
+        lam_arr = jnp.asarray(lam, self.dtype)
+        inc, stage2, cg_iters, cg_term = jax.block_until_ready(
+            self._solve_fn(self._lins, lam_arr))
+        self._stage2 = stage2
+        if self.it_summary is not None:
+            dt = time.monotonic() - t0
+            self.it_summary.stage2_time_in_seconds = dt * 0.2
+            self.it_summary.solve_reduced_system_time_in_seconds = dt * 0.8
+            self.it_summary.linear_solver_iterations = int(cg_iters)
+            self.it_summary.linear_solver_message = (
+                f"cg_term={int(cg_term)} iters={int(cg_iters)}")
+            self.it_summary.linear_solver_type = self.linear_solver_type
+        if self.summary is not None:
+            self.summary.num_linear_solves += 1
+        return inc
+
+    def apply(self, inc: jnp.ndarray) -> Tuple[BAState, float]:
+        t0 = time.monotonic()
+        cams, lm_ps, l_diff = jax.block_until_ready(self._apply_fn(
+            self.state.cams, self.state.lm_ps, self._lins, self._stage2,
+            self._pose_scale, inc))
+        if self.it_summary is not None:
+            self.it_summary.back_substitution_time_in_seconds = (
+                time.monotonic() - t0)
+        return BAState(cams=cams, lm_ps=lm_ps), float(l_diff)
+
+
+def create_linearizer(bp: BucketedProblem, options: SolverOptions, dtype,
+                      mesh=None):
+    from rootba_tpu.solver.explicit_sc import PowerSCLinearizer, SCLinearizer
+
+    if options.solver_type == SolverType.SQUARE_ROOT:
+        return SqrtLinearizer(bp, options, dtype, mesh)
+    if options.solver_type == SolverType.SCHUR_COMPLEMENT:
+        return SCLinearizer(bp, options, dtype, mesh)
+    if options.solver_type == SolverType.POWER_SCHUR_COMPLEMENT:
+        return PowerSCLinearizer(bp, options, dtype, mesh)
+    raise ValueError(f"unknown solver type {options.solver_type}")
+
+
+def _compute_cost_decrease(ri: ResidualInfoHost, ri2: ResidualInfoHost,
+                           optimized_cost: OptimizedCost) -> float:
+    """Reference bal_bundle_adjustment.cpp:158-172."""
+    if optimized_cost == OptimizedCost.ERROR:
+        return ri.all.error - ri2.all.error
+    if optimized_cost == OptimizedCost.ERROR_VALID:
+        return ri.valid.error - ri2.valid.error
+    return ri.valid.error_avg - ri2.valid.error_avg
+
+
+def _function_tolerance_reached(it: IterationSummary,
+                                options: SolverOptions):
+    """Reference bal_bundle_adjustment.cpp:174-201."""
+    if options.optimized_cost == OptimizedCost.ERROR:
+        cost = it.cost.all.error
+        change = abs(it.cost_change.all.error)
+    else:
+        cost = it.cost.valid.error
+        change = abs(it.cost_change.valid.error)
+    if change <= options.function_tolerance * cost:
+        return True, (f"Function tolerance reached. |cost_change|/cost: "
+                      f"{change / cost if cost else 0.0} <= "
+                      f"{options.function_tolerance}")
+    return False, ""
+
+
+def optimize_lm(
+    bp: BucketedProblem,
+    options: SolverOptions,
+    summary: Optional[SolverSummary] = None,
+) -> Tuple[BAState, SolverSummary]:
+    """The LM minimizer (reference optimize_lm_ours,
+    bal_bundle_adjustment.cpp:249-544)."""
+    if summary is None:
+        summary = SolverSummary()
+    verbose = options.verbosity_level >= 2
+
+    timer_total = time.monotonic()
+
+    dtype = jnp.float64 if options.use_double else jnp.float32
+    if options.use_double and not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "use_double=True requires jax_enable_x64 "
+            "(set JAX_ENABLE_X64=1 or solver.use_double=false)")
+
+    min_lambda = 1.0 / options.max_trust_region_radius
+    max_lambda = 1.0 / options.min_trust_region_radius
+    vee_factor = options.vee_factor
+    initial_vee = options.initial_vee
+    max_lm_iter = options.max_num_iterations
+
+    lam = 1.0 / options.initial_trust_region_radius
+    lambda_vee = initial_vee
+
+    summary.num_linear_solves = 0
+    summary.num_residual_evaluations = 0
+    summary.num_jacobian_evaluations = 0
+
+    mesh = None
+    if options.num_devices != 1 and len(jax.devices()) > 1:
+        from rootba_tpu.parallel.mesh import make_mesh, shard_state
+
+        mesh = make_mesh(options.num_devices)
+        if verbose:
+            print(f"Sharding landmark blocks over {mesh.size} devices")
+
+    linearizer = create_linearizer(bp, options, dtype, mesh)
+    linearizer.summary = summary
+    state = initial_state(bp, dtype)
+    if mesh is not None:
+        from rootba_tpu.parallel.mesh import shard_state
+
+        state = shard_state(state, mesh)
+    linearizer.set_state(state)
+
+    summary.preprocessor_time_in_seconds = time.monotonic() - timer_total
+    timer_minimizer = time.monotonic()
+
+    validity_check = options.use_projection_validity_check()
+    terminated = False
+    it = 0
+    while it <= max_lm_iter and not terminated:
+        it_summary = IterationSummary(iteration=it)
+        linearizer.start_iteration(it_summary)
+        timer_iteration = time.monotonic()
+
+        ri = linearizer.compute_error()
+        if verbose:
+            print(f"Iteration {it}, "
+                  f"{error_summary_oneline(ri, validity_check)}")
+        if not ri.is_numerically_valid:
+            raise FloatingPointError(
+                "did not expect numerical failure during linearization")
+
+        if it == 0:
+            linearizer.finish_iteration()
+            it_summary.cost = ri
+            it_summary.trust_region_radius = 1.0 / lam
+            it_summary.iteration_time_in_seconds = (
+                time.monotonic() - timer_iteration)
+            it_summary.cumulative_time_in_seconds = (
+                time.monotonic() - timer_total)
+            it_summary.step_is_successful = True
+            it_summary.step_is_valid = True
+            finish_iteration(summary, it_summary)
+            it += 1
+            continue
+
+        linearizer.linearize()
+
+        j = 0
+        while it <= max_lm_iter and not terminated:
+            if j > 0:
+                if verbose:
+                    print(f"Iteration {it}, backtracking")
+                it_summary = IterationSummary(iteration=it)
+                linearizer.start_iteration(it_summary)
+                timer_iteration = time.monotonic()
+            j += 1
+
+            inc = linearizer.solve(lam)
+            inc_finite = bool(jnp.all(jnp.isfinite(inc)))
+
+            if not inc_finite:
+                it_summary.step_is_valid = False
+                it_summary.step_is_successful = False
+                if verbose:
+                    print(f"\t[Invalid] Numeric issues when computing "
+                          f"increment (contains NaNs), lambda: {lam:.1e}")
+                lam = lambda_vee * lam
+                lambda_vee *= vee_factor
+
+                linearizer.finish_iteration()
+                it_summary.trust_region_radius = 1.0 / lam
+                it_summary.iteration_time_in_seconds = (
+                    time.monotonic() - timer_iteration)
+                it_summary.cumulative_time_in_seconds = (
+                    time.monotonic() - timer_total)
+                finish_iteration(summary, it_summary)
+                it += 1
+                if lam > max_lambda:
+                    terminated = True
+                    summary.termination_type = NO_CONVERGENCE
+                    summary.message = (
+                        f"Solver did not converge and reached maximum "
+                        f"damping lambda of {max_lambda}")
+                continue
+
+            backup_state = linearizer.state
+            new_state, l_diff = linearizer.apply(inc)
+            linearizer.set_state(new_state)
+
+            ri2 = linearizer.compute_error()
+            it_summary.cost = ri2
+
+            if not math.isfinite(l_diff):
+                it_summary.step_is_valid = False
+                it_summary.step_is_successful = False
+                if verbose:
+                    print(f"\t[EVAL] failed to apply update: "
+                          f"l_diff {l_diff}")
+            elif not ri2.is_numerically_valid:
+                it_summary.step_is_valid = False
+                it_summary.step_is_successful = False
+                if verbose:
+                    print(f"\t[EVAL] failed to evaluate cost: "
+                          f"{error_summary_oneline(ri2, validity_check)}")
+            else:
+                f_diff = _compute_cost_decrease(ri, ri2,
+                                                options.optimized_cost)
+                if options.optimized_cost == OptimizedCost.ERROR_VALID_AVG:
+                    l_diff = l_diff / ri.valid.num_obs
+                step_quality = f_diff / l_diff if l_diff != 0 else math.inf
+                if verbose:
+                    print(f"\t[EVAL] f_diff {f_diff:.4e} l_diff "
+                          f"{l_diff:.4e} step_quality {step_quality:.4e} "
+                          f"ri1 {ri.valid.error:.4e} ri2 "
+                          f"{ri2.valid.error:.4e}")
+                it_summary.relative_decrease = step_quality
+                it_summary.step_is_valid = l_diff > 0
+                it_summary.step_is_successful = (
+                    it_summary.step_is_valid
+                    and step_quality > options.min_relative_decrease)
+
+            if it_summary.step_is_successful:
+                cum = time.monotonic() - timer_total
+                if verbose:
+                    print(f"\t[Success] lambda: {lam:.1e}, cg_iter: "
+                          f"{it_summary.linear_solver_iterations}, "
+                          f"total_time: {cum:.3f}s")
+                lam *= max(1.0 / 3,
+                           1.0 - (2.0 * it_summary.relative_decrease - 1.0) ** 3)
+                lam = max(min_lambda, lam)
+                lambda_vee = initial_vee
+
+                linearizer.finish_iteration()
+                it_summary.trust_region_radius = 1.0 / lam
+                it_summary.iteration_time_in_seconds = (
+                    time.monotonic() - timer_iteration)
+                it_summary.cumulative_time_in_seconds = cum
+                finish_iteration(summary, it_summary)
+                it += 1
+
+                reached, msg = _function_tolerance_reached(
+                    summary.iterations[-1], options)
+                if reached:
+                    terminated = True
+                    summary.termination_type = CONVERGENCE
+                    summary.message = msg
+                break
+            else:
+                cum = time.monotonic() - timer_total
+                reason = "Reject" if it_summary.step_is_valid else "Invalid"
+                if verbose:
+                    print(f"\t[{reason}] lambda: {lam:.1e}, cg_iter: "
+                          f"{it_summary.linear_solver_iterations}, "
+                          f"total_time: {cum:.3f}s")
+                lam = lambda_vee * lam
+                lambda_vee *= vee_factor
+
+                linearizer.finish_iteration()
+                it_summary.trust_region_radius = 1.0 / lam
+                it_summary.iteration_time_in_seconds = (
+                    time.monotonic() - timer_iteration)
+                it_summary.cumulative_time_in_seconds = cum
+                it_summary.step_is_successful = False
+                finish_iteration(summary, it_summary)
+
+                linearizer.set_state(backup_state)
+                it += 1
+                if lam > max_lambda:
+                    terminated = True
+                    summary.termination_type = NO_CONVERGENCE
+                    summary.message = (
+                        f"Solver did not converge and reached maximum "
+                        f"damping lambda of {max_lambda}")
+
+    if not terminated:
+        summary.termination_type = NO_CONVERGENCE
+        summary.message = (f"Solver did not converge after maximum number "
+                           f"of {max_lm_iter} iterations")
+
+    summary.minimizer_time_in_seconds = time.monotonic() - timer_minimizer
+    summary.postprocessor_time_in_seconds = 0.0
+    summary.total_time_in_seconds = time.monotonic() - timer_total
+    summary.num_threads_given = options.num_threads
+    summary.num_threads_used = 1
+
+    solver_names = {
+        SolverType.SQUARE_ROOT: "bal_qr",
+        SolverType.SCHUR_COMPLEMENT: "bal_sc",
+        SolverType.POWER_SCHUR_COMPLEMENT: "bal_power_sc",
+    }
+    finish_solve(summary, solver_names[options.solver_type])
+    if verbose:
+        print(f"Final Cost: "
+              f"{error_summary_oneline(summary.final_cost, validity_check)}")
+        print(f"{summary.termination_type}: {summary.message}")
+    return linearizer.state, summary
+
+
+def bundle_adjust(
+    problem: BalProblem,
+    options: Optional[SolverOptions] = None,
+    summary: Optional[SolverSummary] = None,
+    timing: Optional[PipelineTimingSummary] = None,
+) -> SolverSummary:
+    """Solve a BalProblem in place (reference bundle_adjust_manual,
+    bal_bundle_adjustment.cpp:549-...)."""
+    if options is None:
+        options = SolverOptions()
+    if summary is None:
+        summary = SolverSummary()
+    from rootba_tpu.parallel.mesh import pad_rows_for_mesh
+
+    ndev = (options.num_devices if options.num_devices > 0
+            else (len(jax.devices()) if options.num_devices != 1 else 1))
+    bp = bucketize(problem, pow2_from=options.bucket_pow2_from,
+                   row_align=pad_rows_for_mesh(ndev))
+    state, summary = optimize_lm(bp, options, summary)
+    # write back optimized state
+    problem.lm_p[:] = scatter_landmarks(bp, [np.asarray(p, np.float64)
+                                             for p in state.lm_ps])
+    problem.cam_q[:] = np.asarray(state.cams.q, np.float64)
+    problem.cam_t[:] = np.asarray(state.cams.t, np.float64)
+    problem.cam_intr[:] = np.asarray(state.cams.intr, np.float64)
+    if timing is not None:
+        timing.optimize_time = summary.total_time_in_seconds
+    return summary

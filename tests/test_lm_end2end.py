@@ -1,0 +1,114 @@
+"""End-to-end LM tests: all three solvers must converge to the same
+cost on the same problem (the reference's smoke tests + QR/SC cost
+equality claim, README "both solvers converge to the same cost")."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rootba_tpu.bal.synthetic import generate_synthetic_bal, write_bal_file
+from rootba_tpu.config.options import (
+    PreconditionerType,
+    SolverOptions,
+    SolverType,
+)
+from rootba_tpu.log.summary import SolverSummary
+from rootba_tpu.solver.lm import bundle_adjust
+
+
+def fresh_problem():
+    p = generate_synthetic_bal(num_cams=12, num_lms=200,
+                               mean_obs_per_lm=4.5, seed=3)
+    p.normalize(100.0)
+    p.perturb(0.0, 0.01, 0.01, 38401)
+    p.filter_obs(0.1)
+    return p
+
+
+@pytest.mark.parametrize("solver_type", [
+    SolverType.SQUARE_ROOT,
+    SolverType.SCHUR_COMPLEMENT,
+    SolverType.POWER_SCHUR_COMPLEMENT,
+])
+def test_solvers_reach_same_cost(solver_type):
+    p = fresh_problem()
+    opts = SolverOptions(solver_type=solver_type, max_num_iterations=15,
+                         verbosity_level=0, bucket_pow2_from=4)
+    s = bundle_adjust(p, opts)
+    assert s.final_cost.all.error < 0.62 * s.initial_cost.all.error
+    # all solvers converge to the same basin; cost from a known-good
+    # sqrt-BA run of this fixture
+    assert abs(s.final_cost.all.error - 516.889) / 516.889 < 2e-3
+
+
+def test_float32_matches_float64():
+    p64 = fresh_problem()
+    opts64 = SolverOptions(max_num_iterations=8, verbosity_level=0,
+                           bucket_pow2_from=4)
+    s64 = bundle_adjust(p64, opts64)
+
+    p32 = fresh_problem()
+    opts32 = SolverOptions(max_num_iterations=8, verbosity_level=0,
+                           bucket_pow2_from=4, use_double=False)
+    s32 = bundle_adjust(p32, opts32)
+
+    assert (abs(s32.final_cost.all.error - s64.final_cost.all.error)
+            / s64.final_cost.all.error) < 1e-3
+
+
+def test_backtracking_restores_state():
+    """A rejected step must not change the state (backup/restore)."""
+    p = fresh_problem()
+    opts = SolverOptions(max_num_iterations=12, verbosity_level=0,
+                         bucket_pow2_from=4)
+    s = bundle_adjust(p, opts)
+    rejected = [it for it in s.iterations if not it.step_is_successful]
+    costs = [it.cost.all.error for it in s.iterations
+             if it.step_is_successful]
+    # successful-iteration costs must be monotonically non-increasing
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(costs, costs[1:]))
+
+
+def test_cli_end_to_end(tmp_path):
+    from rootba_tpu.cli.bal import run_app
+
+    p = fresh_problem()
+    bal_path = str(tmp_path / "problem-12-200-pre.txt")
+    write_bal_file(p, bal_path)
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        rc = run_app("test", argv=[
+            "--input", bal_path, "--max-num-iterations", "3",
+            "--no-normalize", "--verbosity-level", "0",
+            "--save-output", "--output-optimized-path", "opt.npz",
+        ])
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    log_path = tmp_path / "ba_log.json"
+    assert log_path.exists()
+    d = json.loads(log_path.read_text())
+    assert d["_type"] == "rootba"
+    assert d["_static"]["solver"]["solver_type"] == "bal_qr"
+    assert len(d["cost"]) == 4
+    assert d["cost"][-1] <= d["cost"][0]
+    assert (tmp_path / "opt.npz").exists()
+    # optimized problem loads back
+    from rootba_tpu.bal.problem import BalProblem
+
+    p2 = BalProblem.load_npz(str(tmp_path / "opt.npz"))
+    assert p2.num_cameras == p.num_cameras
+
+
+def test_cli_dump_config(capsys):
+    from rootba_tpu.cli.bal import run_app
+
+    rc = run_app("test", argv=["--dump-config"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[dataset]" in out
+    assert 'solver_type = "SQUARE_ROOT"' in out
+    assert "[solver.residual]" in out

@@ -1,0 +1,215 @@
+"""Cross-solver equivalence tests -- the TPU analog of the reference's
+solver/bal_bundle_adjustment.test.cpp:54-140 (QR vs SC reduced systems
+must match) and qr/linearization_qr.test.cpp (implicit operator vs dense
+ground truth), plus sc/linearization_power_sc.test.cpp (power series vs
+dense inverse).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rootba_tpu.bal.bucketing import bucketize
+from rootba_tpu.config.options import (
+    PreconditionerType,
+    SolverOptions,
+    SolverType,
+)
+from rootba_tpu.solver import explicit_sc, sqrt_qr
+from rootba_tpu.solver.lm import SqrtLinearizer, initial_state
+from rootba_tpu.solver.explicit_sc import SCLinearizer, build_pair_structure
+
+
+@pytest.fixture(scope="module")
+def lin_setup(synthetic_problem):
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    opts = SolverOptions()
+    lin = SqrtLinearizer(bp, opts, np.float64)
+    state = initial_state(bp, jnp.float64)
+    lin.set_state(state)
+    lin.linearize()
+    return bp, lin
+
+
+def dense_system(lin):
+    """Assemble the dense scaled Jacobian [Jp | Jl-blockdiag] and r from
+    the lin buckets (ground truth, mirrors get_Q2TJp-style debug)."""
+    N = lin.num_cameras
+    Jp_rows, Jl_rows, r_rows, lm_col = [], [], [], []
+    lm_offset = 0
+    for lb, bucket in zip(lin._lins, lin.buckets):
+        L, n = lb.Jp.shape[0], lb.Jp.shape[1]
+        Jp = np.asarray(lb.Jp)
+        Jl = np.asarray(lb.Jl)
+        r = np.asarray(lb.r)
+        cam = np.asarray(bucket.cam_idx)
+        lmm = np.asarray(bucket.lm_mask)
+        for l in range(L):
+            if not lmm[l]:
+                continue
+            for i in range(n):
+                Jp_block = np.zeros((2, 9 * N))
+                c = cam[l, i]
+                Jp_block[:, 9 * c:9 * c + 9] = Jp[l, i]
+                Jp_rows.append(Jp_block)
+                Jl_rows.append((lm_offset, Jl[l, i]))
+                r_rows.append(r[l, i])
+            lm_offset += 1
+    O2 = 2 * len(r_rows) // 2
+    num_lms = lm_offset
+    Jp_mat = np.concatenate(Jp_rows, axis=0)
+    Jl_mat = np.zeros((Jp_mat.shape[0], 3 * num_lms))
+    for row2, (lmi, block) in enumerate(Jl_rows):
+        Jl_mat[2 * row2:2 * row2 + 2, 3 * lmi:3 * lmi + 3] = block
+    r_vec = np.concatenate(r_rows)
+    return Jp_mat, Jl_mat, r_vec, num_lms
+
+
+@pytest.mark.parametrize("lam", [0.0, 1e-2])
+def test_qr_operator_vs_dense(lin_setup, lam):
+    """Implicit sqrt operator == dense Jp'(I-Q1Q1')Jp + lam I
+    == dense Schur complement Hpp - Hpl (Hll+lam)^-1 Hlp + lam I."""
+    bp, lin = lin_setup
+    N = lin.num_cameras
+    lam_arr = jnp.asarray(lam, jnp.float64)
+    stage2 = sqrt_qr.sqrt_stage2(lin._lins, lin.buckets, lam_arr, N)
+
+    Jp_mat, Jl_mat, r_vec, num_lms = dense_system(lin)
+    Hpp = Jp_mat.T @ Jp_mat
+    Hll = Jl_mat.T @ Jl_mat + lam * np.eye(3 * num_lms)
+    Hpl = Jp_mat.T @ Jl_mat
+    H_rcs = Hpp - Hpl @ np.linalg.solve(Hll, Hpl.T) + lam * np.eye(9 * N)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(N, 9))
+    y_impl = np.asarray(
+        sqrt_qr.sqrt_matvec(lin._lins, lin.buckets, stage2, N,
+                            jnp.asarray(x)))
+    y_dense = (H_rcs @ x.reshape(-1)).reshape(N, 9)
+    np.testing.assert_allclose(y_impl, y_dense, rtol=1e-8, atol=1e-8)
+
+    # RHS: b = Jp' (I - proj) r == Jp' r - Hpl Hll^-1 Jl' r
+    b_dense = Jp_mat.T @ r_vec - Hpl @ np.linalg.solve(Hll, Jl_mat.T @ r_vec)
+    np.testing.assert_allclose(
+        np.asarray(stage2.b).reshape(-1), b_dense, rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("lam", [0.0, 1e-2])
+def test_qr_vs_sc_matvec_and_rhs(lin_setup, lam):
+    """The two marginalization paths produce the same reduced system
+    (reference bal_bundle_adjustment.test.cpp:54-140)."""
+    bp, lin = lin_setup
+    N = lin.num_cameras
+    lam_arr = jnp.asarray(lam, jnp.float64)
+    stage2_qr = sqrt_qr.sqrt_stage2(lin._lins, lin.buckets, lam_arr, N)
+
+    pairs = build_pair_structure(bp, N)
+    stage2_sc = explicit_sc.sc_assemble(lin._lins, lin.buckets, pairs,
+                                        lam_arr, N)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(N, 9)))
+    y_qr = np.asarray(
+        sqrt_qr.sqrt_matvec(lin._lins, lin.buckets, stage2_qr, N, x))
+    y_sc = np.asarray(explicit_sc.sc_matvec(stage2_sc, pairs, N, x))
+    np.testing.assert_allclose(y_qr, y_sc, rtol=1e-8, atol=1e-8)
+
+    np.testing.assert_allclose(np.asarray(stage2_qr.b),
+                               np.asarray(stage2_sc.b), rtol=1e-8,
+                               atol=1e-8)
+
+    # SCHUR_JACOBI preconditioner blocks agree: QR-path blocks (with
+    # +lam) == SC diagonal blocks (with +lam)
+    blocks_sc = np.asarray(explicit_sc.sc_diag_blocks(stage2_sc, pairs, N))
+    chol_qr = np.asarray(stage2_qr.precond_chol)
+    blocks_qr = np.einsum("nij,nkj->nik", chol_qr, chol_qr)
+    np.testing.assert_allclose(blocks_qr, blocks_sc, rtol=1e-7, atol=1e-7)
+
+
+def test_power_series_vs_dense_inverse(lin_setup):
+    """Power series sum (Hpp^-1 E0)^i Hpp^-1 approximates the inverse
+    RCS (reference linearization_power_sc.test.cpp:214-295)."""
+    bp, lin = lin_setup
+    N = lin.num_cameras
+    lam = 1e-2
+    lam_arr = jnp.asarray(lam, jnp.float64)
+
+    Jp_mat, Jl_mat, r_vec, num_lms = dense_system(lin)
+    Hpp_full = Jp_mat.T @ Jp_mat + lam * np.eye(9 * N)
+    Hll = Jl_mat.T @ Jl_mat + lam * np.eye(3 * num_lms)
+    Hpl = Jp_mat.T @ Jl_mat
+    H_rcs = Hpp_full - Hpl @ np.linalg.solve(Hll, Hpl.T)
+
+    # build per-bucket Hll_inv like the PoBA solver
+    Hll_invs = [explicit_sc.damped_hll_inv(lb, bucket, lam_arr)
+                for lb, bucket in zip(lin._lins, lin.buckets)]
+    hpp = explicit_sc.jp_gram_blockdiag(lin._lins, lin.buckets, lam_arr, N)
+    chol = jnp.linalg.cholesky(hpp)
+
+    def apply_hpp_inv(v):
+        return sqrt_qr.precond_apply(chol, v)
+
+    def apply_e0(v):
+        return explicit_sc.e0_matvec(lin._lins, lin.buckets, Hll_invs, N, v)
+
+    rng = np.random.default_rng(2)
+    b = rng.normal(size=(N, 9))
+
+    # (a) truncated implicit series == dense truncated expansion at the
+    # same order (reference get_inverted_matrix(order) comparison,
+    # linearization_power_sc.hpp:173-185)
+    order = 20
+    x_series, iters = explicit_sc.power_series_solve(
+        apply_hpp_inv, apply_e0, jnp.asarray(b), order=order,
+        q_tolerance=-1.0)
+    Hpp_blockdiag = np.asarray(hpp)
+    Hpp_inv_mat = np.zeros((9 * N, 9 * N))
+    for c in range(N):
+        Hpp_inv_mat[9 * c:9 * c + 9, 9 * c:9 * c + 9] = np.linalg.inv(
+            Hpp_blockdiag[c])
+    E0 = Hpl @ np.linalg.solve(Hll, Hpl.T)
+    step = Hpp_inv_mat @ E0
+    acc = Hpp_inv_mat.copy()
+    tmp = Hpp_inv_mat.copy()
+    for _ in range(order):
+        tmp = step @ tmp
+        acc += tmp
+    x_trunc = (acc @ (-b.reshape(-1))).reshape(N, 9)
+    np.testing.assert_allclose(np.asarray(x_series), x_trunc, rtol=1e-8,
+                               atol=1e-10)
+
+    # (b) at high order the series approaches the true inverse RCS
+    x_hi, _ = explicit_sc.power_series_solve(
+        apply_hpp_inv, apply_e0, jnp.asarray(b), order=300,
+        q_tolerance=-1.0)
+    x_dense = -np.linalg.solve(H_rcs, b.reshape(-1)).reshape(N, 9)
+    err = np.linalg.norm(np.asarray(x_hi) - x_dense) / np.linalg.norm(x_dense)
+    assert err < 1e-3, f"series rel err {err}"
+
+
+def test_back_substitution_equivalence(lin_setup):
+    """QR and SC back-substitution produce the same landmark update and
+    the same model cost decrease."""
+    bp, lin = lin_setup
+    N = lin.num_cameras
+    lam = 1e-3
+    lam_arr = jnp.asarray(lam, jnp.float64)
+    stage2_qr = sqrt_qr.sqrt_stage2(lin._lins, lin.buckets, lam_arr, N)
+
+    rng = np.random.default_rng(3)
+    inc = jnp.asarray(rng.normal(size=(N, 9)) * 1e-3)
+
+    lm_ps = lin.state.lm_ps
+    new_qr, ldiff_qr = sqrt_qr.sqrt_back_substitute(
+        lin._lins, lin.buckets, stage2_qr, lm_ps, inc)
+
+    Hll_invs = [explicit_sc.damped_hll_inv(lb, bucket, lam_arr)
+                for lb, bucket in zip(lin._lins, lin.buckets)]
+    new_sc, ldiff_sc = explicit_sc.sc_back_substitute(
+        lin._lins, lin.buckets, Hll_invs, lm_ps, inc)
+
+    np.testing.assert_allclose(float(ldiff_qr), float(ldiff_sc), rtol=1e-8)
+    for a, b in zip(new_qr, new_sc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7,
+                                   atol=1e-10)
