@@ -57,30 +57,35 @@ def generate_synthetic_bal(
     # clustered point cloud around the origin
     lm_p = rng.normal(0, 2.0, (num_lms, 3))
 
-    # observations: each landmark seen by >=2 nearby cameras
-    obs_lm, obs_cam, obs_uv = [], [], []
-    for m in range(num_lms):
-        k = max(2, min(num_cams, int(rng.poisson(mean_obs_per_lm - 2) + 2)))
-        start = rng.integers(0, num_cams)
-        cams = [(start + j) % num_cams for j in range(k)]
-        for c in sorted(set(cams)):
-            p_c = nplie.quat_rotate(cam_q[c], lm_p[m]) + cam_t[c]
-            if p_c[2] < 0.5:
-                continue
-            d = p_c[:2] / p_c[2]
-            r2 = d @ d
-            f, k1, k2 = cam_intr[c]
-            uv = f * (1 + k1 * r2 + k2 * r2 * r2) * d
-            uv = uv + rng.normal(0, pixel_noise, 2)
-            obs_lm.append(m)
-            obs_cam.append(c)
-            obs_uv.append(uv)
+    # observations (vectorized so venice/final-scale problems generate
+    # in seconds): landmark m is seen by k_m consecutive cameras
+    # starting at a random ring position
+    k = np.maximum(
+        2, np.minimum(num_cams,
+                      rng.poisson(max(mean_obs_per_lm - 2, 0.01),
+                                  num_lms) + 2))
+    start = rng.integers(0, num_cams, num_lms)
+    obs_lm = np.repeat(np.arange(num_lms, dtype=np.int64), k)
+    # per-obs offset within its landmark's window
+    cum = np.concatenate([[0], np.cumsum(k)])
+    obs_off = np.arange(obs_lm.size, dtype=np.int64) - cum[obs_lm]
+    obs_cam = (start[obs_lm] + obs_off) % num_cams
+
+    p_c = (nplie.quat_rotate(cam_q[obs_cam], lm_p[obs_lm])
+           + cam_t[obs_cam])
+    keep = p_c[:, 2] >= 0.5
+    obs_lm, obs_cam, p_c = obs_lm[keep], obs_cam[keep], p_c[keep]
+    d = p_c[:, :2] / p_c[:, 2:3]
+    r2 = np.sum(d * d, axis=1)
+    f = cam_intr[obs_cam, 0]
+    k1 = cam_intr[obs_cam, 1]
+    k2 = cam_intr[obs_cam, 2]
+    obs_uv = ((f * (1 + k1 * r2 + k2 * r2 * r2))[:, None] * d
+              + rng.normal(0, pixel_noise, (obs_lm.size, 2)))
 
     problem = BalProblem(
         cam_q, cam_t, cam_intr, lm_p,
-        np.array(obs_lm, dtype=np.int64),
-        np.array(obs_cam, dtype=np.int64),
-        np.array(obs_uv, dtype=np.float64), quiet=True)
+        obs_lm, obs_cam.astype(np.int64), obs_uv, quiet=True)
     # drop landmarks that ended with < 2 valid obs
     problem.filter_obs(1e-9)
     problem.sort_observations()
@@ -94,19 +99,26 @@ def write_bal_file(problem: BalProblem, path: str):
     with open(path, "w") as fp:
         fp.write(f"{problem.num_cameras} {problem.num_landmarks} "
                  f"{problem.num_observations}\n")
-        for lm, cam, uv in zip(problem.obs_lm, problem.obs_cam,
-                               problem.obs_uv):
-            fp.write(f"{cam} {lm} {uv[0]:.17g} {-uv[1]:.17g}\n")
+        # vectorized obs block (BAL files can have tens of millions)
+        obs = np.empty((problem.num_observations, 4), dtype=object)
+        obs[:, 0] = problem.obs_cam
+        obs[:, 1] = problem.obs_lm
+        obs[:, 2] = [f"{v:.17g}" for v in problem.obs_uv[:, 0]]
+        obs[:, 3] = [f"{v:.17g}" for v in -problem.obs_uv[:, 1]]
+        fp.write("\n".join(" ".join(map(str, row)) for row in obs))
+        fp.write("\n")
+        cam_vals = []
         for c in range(problem.num_cameras):
             # internal R = flip @ exp(rodrigues)  =>  exp(r) = flip @ R
             Rmat = _quat_to_matrix(problem.cam_q[c])
             R_raw = flip @ Rmat
             rod = _matrix_to_rodrigues(R_raw)
             t_raw = flip @ problem.cam_t[c]
-            vals = list(rod) + list(t_raw) + list(problem.cam_intr[c])
-            fp.write("\n".join(f"{v:.17g}" for v in vals) + "\n")
-        for m in range(problem.num_landmarks):
-            fp.write("\n".join(f"{v:.17g}" for v in problem.lm_p[m]) + "\n")
+            cam_vals.extend(list(rod) + list(t_raw)
+                            + list(problem.cam_intr[c]))
+        fp.write("\n".join(f"{v:.17g}" for v in cam_vals) + "\n")
+        fp.write("\n".join(
+            f"{v:.17g}" for v in problem.lm_p.reshape(-1)) + "\n")
 
 
 def _quat_to_matrix(q):

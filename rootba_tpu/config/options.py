@@ -188,6 +188,13 @@ class SolverOptions:
     vee_factor: float = opt(2.0)
 
     # --- TPU-native additions ------------------------------------------------
+    lm_loop: str = opt(
+        "fused", help="'fused' runs the whole LM minimization as one "
+                      "device program (fast; per-iteration timings are "
+                      "attributed from the total); 'host' drives each "
+                      "stage from the host like the reference C++ "
+                      "(accurate stage timings, slower on high-latency "
+                      "device links)")
     num_devices: int = opt(
         0, help="number of devices to shard landmark blocks over (0 = all)")
     bucket_pow2_from: int = opt(

@@ -60,18 +60,28 @@ class ResidualInfo(NamedTuple):
     is_numerically_valid: jnp.ndarray  # bool
 
 
+def default_acc_dtype():
+    """float64 accumulation when x64 is on, else float32 (TPU default;
+    the reference accumulates cost in the solver Scalar too)."""
+    import jax
+
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 def accumulate_residual_info(
     res: jnp.ndarray,  # [..., 2]
     proj_valid: jnp.ndarray,  # [...] bool
     obs_mask: jnp.ndarray,  # [...] bool; False = padded slot
     robust_norm: int,
     huber_parameter: float,
-    acc_dtype=jnp.float64,
+    acc_dtype=None,
 ) -> ResidualInfo:
     """Accumulate a batch of residuals into a ResidualInfo.
 
     Mirrors ResidualInfoAccu::add over every real (non-padded) observation.
     """
+    if acc_dtype is None:
+        acc_dtype = default_acc_dtype()
     res_squared = jnp.sum(res * res, axis=-1)
     weighted_error, _ = compute_error_weight(
         res_squared, robust_norm, huber_parameter
@@ -114,7 +124,9 @@ def join_residual_info(a: ResidualInfo, b: ResidualInfo) -> ResidualInfo:
     )
 
 
-def empty_residual_info(acc_dtype=jnp.float64) -> ResidualInfo:
+def empty_residual_info(acc_dtype=None) -> ResidualInfo:
+    if acc_dtype is None:
+        acc_dtype = default_acc_dtype()
     zero = jnp.zeros((), acc_dtype)
     izero = jnp.zeros((), jnp.int32)
     item = ResidualItem(num_obs=izero, error=zero, residual_sum=zero)

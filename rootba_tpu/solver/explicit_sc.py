@@ -350,6 +350,11 @@ class SCLinearizer(LinearizerBase):
             intr = cams.intr + inc_scaled[:, 6:9]
             return CamState(q=q, t=t, intr=intr), new_lm_ps, l_diff
 
+        # pure (untraced) stages, composable by the fused LM driver
+        self.error_pure = error_fn
+        self.stage1_pure = stage1_fn
+        self.solve_pure = solve_fn
+        self.apply_pure = apply_fn
         self._error_fn = jax.jit(error_fn)
         self._stage1_fn = jax.jit(stage1_fn)
         self._solve_fn = jax.jit(solve_fn)
@@ -465,6 +470,11 @@ class PowerSCLinearizer(SCLinearizer):
             intr = cams.intr + inc_scaled[:, 6:9]
             return CamState(q=q, t=t, intr=intr), new_lm_ps, l_diff
 
+        # pure (untraced) stages, composable by the fused LM driver
+        self.error_pure = error_fn
+        self.stage1_pure = stage1_fn
+        self.solve_pure = solve_fn
+        self.apply_pure = apply_fn
         self._error_fn = jax.jit(error_fn)
         self._stage1_fn = jax.jit(stage1_fn)
         self._solve_fn = jax.jit(solve_fn)

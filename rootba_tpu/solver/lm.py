@@ -226,6 +226,11 @@ class SqrtLinearizer(LinearizerBase):
             intr = cams.intr + inc_scaled[:, 6:9]
             return CamState(q=q, t=t, intr=intr), new_lm_ps, l_diff
 
+        # pure (untraced) stages, composable by the fused LM driver
+        self.error_pure = error_fn
+        self.stage1_pure = stage1_fn
+        self.solve_pure = solve_fn
+        self.apply_pure = apply_fn
         self._error_fn = jax.jit(error_fn)
         self._stage1_fn = jax.jit(stage1_fn)
         self._solve_fn = jax.jit(solve_fn)
@@ -569,7 +574,12 @@ def bundle_adjust(
             else (len(jax.devices()) if options.num_devices != 1 else 1))
     bp = bucketize(problem, pow2_from=options.bucket_pow2_from,
                    row_align=pad_rows_for_mesh(ndev))
-    state, summary = optimize_lm(bp, options, summary)
+    if options.lm_loop == "fused":
+        from rootba_tpu.solver.fused_lm import optimize_lm_fused
+
+        state, summary = optimize_lm_fused(bp, options, summary)
+    else:
+        state, summary = optimize_lm(bp, options, summary)
     # write back optimized state
     problem.lm_p[:] = scatter_landmarks(bp, [np.asarray(p, np.float64)
                                              for p in state.lm_ps])

@@ -72,8 +72,11 @@ def save_config(template: dict, configs: dict, combination, path_prefix):
             raise KeyError(f"unknown named config '{override}'")
         merge_config(config, configs[override])
         name_parts.append(override)
-    filename = os.path.join(
-        path_prefix, "rootba_config_" + "_".join(name_parts) + ".toml")
+    # one directory per run, containing exactly one rootba_config.toml
+    # (the run directory also receives output.log / status.log / ba_log)
+    rundir = os.path.join(path_prefix, "_".join(name_parts))
+    os.makedirs(rundir, exist_ok=True)
+    filename = os.path.join(rundir, "rootba_config.toml")
     with open(filename, "w") as f:
         f.write(dump_toml_dict(config) + "\n")
     print(filename)

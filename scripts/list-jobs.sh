@@ -15,5 +15,5 @@ while read -r cfg; do
     else
         pending=$((pending+1))
     fi
-done < <(find "$ROOT" -name 'rootba_config*.toml' | sort)
+done < <(find "$ROOT" -name 'rootba_config*.toml' ! -name 'rootba_batch_config.toml' | sort)
 echo "total: $total, completed: $completed, failed: $failed, pending: $pending"

@@ -1,25 +1,16 @@
 #!/usr/bin/env bash
 # Sequentially run all experiments below the given directory (analog of
 # the reference scripts/run-all-in.sh:27-61): every directory containing
-# a rootba_config*.toml and no status.log is run with run-one.sh.
+# a rootba_config.toml without a completed status.log is run with
+# run-one.sh.
 set -u
 ROOT="${1:?usage: run-all-in.sh BATCH_DIR [EXECUTABLE]}"
 EXE="${2:-python -m rootba_tpu.cli.bal}"
 SCRIPT_DIR="$(cd "$(dirname "$0")" && pwd)"
 
-find "$ROOT" -name 'rootba_config*.toml' | sort | while read -r cfg; do
-    dir=$(dirname "$cfg")
-    # one run dir per config file: use config basename as subdir if
-    # several configs share a directory
-    n_cfg=$(ls "$dir"/rootba_config*.toml | wc -l)
-    if [ "$n_cfg" -gt 1 ]; then
-        name=$(basename "$cfg" .toml)
-        rundir="$dir/${name#rootba_config_}"
-        mkdir -p "$rundir"
-        [ -e "$rundir/$(basename "$cfg")" ] || cp "$cfg" "$rundir/"
-    else
-        rundir="$dir"
-    fi
+find "$ROOT" -name 'rootba_config*.toml' ! -name 'rootba_batch_config.toml' \
+        | sort | while read -r cfg; do
+    rundir=$(dirname "$cfg")
     if [ -f "$rundir/status.log" ] && grep -q completed "$rundir/status.log"; then
         echo "skip (done): $rundir"
         continue

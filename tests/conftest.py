@@ -8,15 +8,14 @@ parameter instead.)
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# NOTE: this machine globally exports JAX_PLATFORMS=axon (TPU tunnel),
+# so set the platform through jax.config, not the environment.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/rootba_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,173 @@
+"""Tests for logging + eval tooling (log IO, metrics, experiments,
+report, batch config generation)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from rootba_tpu.config.options import BaLogOptions
+from rootba_tpu.eval.log import _parse_ubjson, load_ba_log
+from rootba_tpu.eval.metrics import METRICS, cost_threshold, time_to_threshold
+from rootba_tpu.log.ba_log import _to_ubjson, build_log_dict, save_log
+from rootba_tpu.log.summary import (
+    IterationSummary,
+    ResidualInfoHost,
+    ResidualItemHost,
+    SolverSummary,
+    finish_iteration,
+    finish_solve,
+)
+
+
+def make_summary(costs=(100.0, 50.0, 30.0, 30.0)):
+    s = SolverSummary()
+    for i, c in enumerate(costs):
+        it = IterationSummary(iteration=i)
+        it.cost = ResidualInfoHost(
+            all=ResidualItemHost(num_obs=10, error=c, residual_sum=5.0),
+            valid=ResidualItemHost(num_obs=9, error=c * 0.9,
+                                   residual_sum=4.0))
+        it.step_is_successful = i < 3  # last iteration rejected
+        it.step_is_valid = True
+        it.linear_solver_iterations = 5
+        it.iteration_time_in_seconds = 0.1
+        it.cumulative_time_in_seconds = 0.1 * (i + 1)
+        it.trust_region_radius = 1e4
+        it.linear_solver_type = "bal_qr"
+        finish_iteration(s, it)
+    finish_solve(s, "bal_qr")
+    return s
+
+
+def test_log_dict_schema():
+    s = make_summary()
+    d = build_log_dict(s)
+    assert d["_type"] == "rootba"
+    assert d["cost"] == [100.0, 50.0, 30.0, 30.0]  # rejected repeats prev
+    assert d["cost_change"][3] == 0.0
+    assert d["iteration"] == [0, 1, 2, 3]
+    assert d["_static"]["solver"]["solver_type"] == "bal_qr"
+    assert d["_static"]["solver"]["num_successful_steps"] == 2
+    assert d["_static"]["solver"]["num_unsuccessful_steps"] == 1
+
+
+def test_ubjson_roundtrip():
+    obj = {"a": [1, 2, 3], "b": 1.5, "c": "hi", "d": True,
+           "e": {"f": [1.0, -2.5]}, "g": 300, "h": 70000,
+           "i": 2**40, "j": None}
+    data = _to_ubjson(obj)
+    back = _parse_ubjson(data)
+    assert back == obj
+
+
+def test_save_and_load_log(tmp_path):
+    s = make_summary()
+    opts = BaLogOptions(log_path=str(tmp_path / "ba_log.json"),
+                        save_log_flags=["JSON", "UBJSON"])
+    save_log(opts, s, quiet=True)
+    for name in ("ba_log.json", "ba_log.ubjson"):
+        log = load_ba_log(str(tmp_path / name))
+        np.testing.assert_allclose(np.asarray(log["cost"]),
+                                   [100.0, 50.0, 30.0, 30.0])
+        assert log["_static"]["solver"]["termination_type"]
+
+
+def test_metrics():
+    s = make_summary()
+    d = build_log_dict(s)
+    assert METRICS["cost"].value(d) == 30.0
+    assert METRICS["num_iterations"].value(d) == 3
+    assert METRICS["linear_solver_iterations"].value(d) == 20
+    th = cost_threshold(100.0, 30.0, 0.1)
+    assert th == 37.0
+    assert time_to_threshold(d, 37.0) == pytest.approx(0.3)
+    assert time_to_threshold(d, 1.0) == float("inf")
+
+
+def test_experiments_and_report(tmp_path):
+    # build two fake experiment dirs
+    for exp, seq, costs in [
+        ("expA", "seq1", (100.0, 40.0, 20.0)),
+        ("expA", "seq2", (200.0, 90.0, 60.0)),
+        ("expB", "seq1", (100.0, 60.0, 25.0)),
+        ("expB", "seq2", (200.0, 80.0, 55.0)),
+    ]:
+        d = tmp_path / "runs" / exp / seq
+        d.mkdir(parents=True)
+        s = make_summary(costs)
+        save_log(BaLogOptions(log_path=str(d / "ba_log.json")), s,
+                 quiet=True)
+        (d / "status.log").write_text("completed\n")
+
+    spec = tmp_path / "spec.toml"
+    spec.write_text(f"""
+[options]
+base_path = "{tmp_path}"
+output_path = "report"
+
+[[experiments]]
+name = "A"
+display_name = "solver A"
+pattern = "runs/expA/*"
+
+[[experiments]]
+name = "B"
+display_name = "solver B"
+pattern = "runs/expB/*"
+""")
+    from rootba_tpu.eval.experiments import load_all
+    from rootba_tpu.eval.report import generate_report
+
+    exps = load_all(str(spec))
+    assert set(exps) == {"A", "B"}
+    assert exps["A"].sequences() == ["seq1", "seq2"]
+    path = generate_report(exps, str(tmp_path / "report"))
+    text = open(path).read()
+    assert "solver A" in text and "seq1" in text
+    assert (tmp_path / "report" / "performance_profiles.png").exists()
+    assert (tmp_path / "report" / "convergence.png").exists()
+
+
+def test_batch_config_generator(tmp_path):
+    (tmp_path / "rootba_batch_config.toml").write_text("""
+[dataset]
+input = "x.txt"
+
+[solver]
+max_num_iterations = 5
+
+[_batch]
+revision = "r1"
+
+[_batch.config.qr]
+solver = { solver_type = "SQUARE_ROOT" }
+
+[_batch.config.sc]
+solver = { solver_type = "SCHUR_COMPLEMENT" }
+
+[_batch.config.d1]
+dataset = { input = "a.txt" }
+
+[_batch.alternatives]
+solvers = ["qr", "sc"]
+
+[_batch.combinations]
+combo = ["d1", "solvers"]
+""")
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "generate-batch-configs.py")
+    subprocess.run([sys.executable, script, str(tmp_path)], check=True,
+                   capture_output=True)
+    import tomllib
+
+    cfg_qr = tmp_path / "r1" / "combo" / "d1_qr" / "rootba_config.toml"
+    cfg_sc = tmp_path / "r1" / "combo" / "d1_sc" / "rootba_config.toml"
+    assert cfg_qr.exists() and cfg_sc.exists()
+    d = tomllib.loads(cfg_qr.read_text())
+    assert d["solver"]["solver_type"] == "SQUARE_ROOT"
+    assert d["solver"]["max_num_iterations"] == 5
+    assert d["dataset"]["input"] == "a.txt"
