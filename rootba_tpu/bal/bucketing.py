@@ -70,6 +70,18 @@ def bucketize(
         raise ValueError("landmarks must have >= 2 observations; "
                          "run filter_obs first")
     sizes = np.array([_bucket_size_for(int(c), pow2_from) for c in counts])
+
+    # merge undersized buckets into the next larger one: a bucket with a
+    # handful of landmarks costs a full extra compiled program section
+    # for negligible work (the reference's analog is the single dynamic
+    # landmark block class for all nobs > 8, landmark_block.cpp:48-83)
+    min_rows = min(256, max(1, counts.size // 16))
+    uniq = np.sort(np.unique(sizes))
+    for i, n in enumerate(uniq[:-1]):
+        if np.sum(sizes == n) < min_rows:
+            nxt = uniq[uniq > n][0]
+            sizes[sizes == n] = nxt
+    # undersized largest bucket: nothing above to merge into; keep it
     obs_start = np.concatenate([[0], np.cumsum(counts)])
 
     buckets: List[Bucket] = []
@@ -88,11 +100,18 @@ def bucketize(
         lm_mask[:num_real] = True
         lm_id[:num_real] = lm_ids
         p0[:num_real] = problem.lm_p[lm_ids]
-        for row, m in enumerate(lm_ids):
-            s, c = obs_start[m], counts[m]
-            obs_uv[row, :c] = problem.obs_uv[s:s + c]
-            cam_idx[row, :c] = problem.obs_cam[s:s + c]
-            mask[row, :c] = True
+        # vectorized ragged gather: for each selected landmark, its obs
+        # span [obs_start[m], obs_start[m]+counts[m]) in the (lm, cam)-
+        # sorted flat obs arrays
+        c_sel = counts[lm_ids].astype(np.int64)
+        total = int(c_sel.sum())
+        rows = np.repeat(np.arange(num_real, dtype=np.int64), c_sel)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(c_sel) - c_sel, c_sel))
+        src = np.repeat(obs_start[lm_ids], c_sel) + within
+        obs_uv[rows, within] = problem.obs_uv[src]
+        cam_idx[rows, within] = problem.obs_cam[src]
+        mask[rows, within] = True
         buckets.append(Bucket(n_obs=int(n), num_real=int(num_real),
                               obs_uv=obs_uv, cam_idx=cam_idx, mask=mask,
                               lm_mask=lm_mask, lm_id=lm_id))

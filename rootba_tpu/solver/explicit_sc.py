@@ -124,7 +124,7 @@ def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras):
     """get_Hb (sc/linearization_sc.hpp:232-348 + landmark_block add_Hb)."""
     dtype = lins[0].Jp.dtype
     P = pairs.num_pairs
-    H = jnp.zeros((P + 1, P9, P9), dtype)
+    H = jnp.zeros((P + 1, P9 * P9), dtype)
     b = jnp.zeros((num_cameras, P9), dtype)
     Hll_invs = []
     for lin, bucket, pid in zip(lins, buckets, pairs.pair_ids):
@@ -142,11 +142,13 @@ def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras):
             yb.reshape(-1, P9), bucket.cam_idx.reshape(-1),
             num_segments=num_cameras)
 
-        # diagonal Jp_i' Jp_i at pair (c_i, c_i)
+        # diagonal Jp_i' Jp_i at pair (c_i, c_i). Scatter operands are
+        # flattened to [*, 81]: materialized [...,9,9] buffers get
+        # (8,128) minor-dim tiling on TPU (~25x memory inflation).
         D = jnp.einsum("lnri,lnrj->lnij", lin.Jp, lin.Jp)
         diag_pid_b = pid[:, jnp.arange(n), jnp.arange(n)]  # [L,n]
         H = H + jax.ops.segment_sum(
-            D.reshape(-1, P9, P9), diag_pid_b.reshape(-1),
+            D.reshape(-1, P9 * P9), diag_pid_b.reshape(-1),
             num_segments=P + 1)
 
         # SC coupling -Jp_i' Jl_i Hll^-1 Jl_j' Jp_j at pair (c_i, c_j)
@@ -154,15 +156,15 @@ def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras):
         HT = jnp.einsum("lcd,lndj->lncj", Hll_inv, T)
         M = jnp.einsum("lnci,lmcj->lnmij", T, HT)  # [L,n,n,9,9]
         H = H + jax.ops.segment_sum(
-            (-M).reshape(-1, P9, P9), pid.reshape(-1), num_segments=P + 1)
+            (-M).reshape(-1, P9 * P9), pid.reshape(-1), num_segments=P + 1)
 
     # pose damping on the diagonal blocks (linearization_sc.hpp:317-320)
-    eye9 = jnp.eye(P9, dtype=dtype)
+    eye9 = jnp.eye(P9, dtype=dtype).reshape(P9 * P9)
     H = H.at[pairs.diag_pid].add(
         jnp.broadcast_to(lam.astype(dtype) * eye9,
-                         (num_cameras, P9, P9)))
-    return SCStage2(H=H[:P], b=b, Hll_inv=tuple(Hll_invs),
-                    lam=jnp.asarray(lam, dtype))
+                         (num_cameras, P9 * P9)))
+    return SCStage2(H=H[:P].reshape(P, P9, P9), b=b,
+                    Hll_inv=tuple(Hll_invs), lam=jnp.asarray(lam, dtype))
 
 
 def sc_matvec(stage2: SCStage2, pairs: PairStructure, num_cameras, x):

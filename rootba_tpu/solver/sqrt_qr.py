@@ -109,7 +109,9 @@ def sqrt_stage2(
             y.reshape(-1, POSE_SIZE), flat_idx, num_segments=num_cameras
         )
 
-        # preconditioner blocks
+        # preconditioner blocks. NOTE: the scatter operand is flattened
+        # to [O, 81] -- a materialized [L,n,9,9] buffer gets (8,128)
+        # minor-dim tiling on TPU, inflating memory ~25x at scale.
         if precond_jacobi:
             blk = jnp.einsum("lnri,lnrj->lnij", lin.Jp, lin.Jp)
         else:
@@ -119,10 +121,10 @@ def sqrt_stage2(
                 "lnci,lncj->lnij", W, W
             )
         blocks = blocks + jax.ops.segment_sum(
-            blk.reshape(-1, POSE_SIZE, POSE_SIZE),
+            blk.reshape(-1, POSE_SIZE * POSE_SIZE),
             flat_idx,
             num_segments=num_cameras,
-        )
+        ).reshape(num_cameras, POSE_SIZE, POSE_SIZE)
 
     # pose damping on the preconditioner diagonal (both JACOBI's explicit
     # damping vector and SCHUR_JACOBI's += lam, reference
