@@ -68,6 +68,8 @@ class SolverType(StrEnum):
     SQUARE_ROOT = "SQUARE_ROOT"
     SCHUR_COMPLEMENT = "SCHUR_COMPLEMENT"
     POWER_SCHUR_COMPLEMENT = "POWER_SCHUR_COMPLEMENT"
+    # external-baseline path (scipy stands in for the reference's Ceres)
+    CERES = "CERES"
 
 
 class PreconditionerType(StrEnum):

@@ -568,6 +568,15 @@ def bundle_adjust(
         options = SolverOptions()
     if summary is None:
         summary = SolverSummary()
+    if options.solver_type == SolverType.CERES:
+        # external-baseline path (scipy stands in for the reference's
+        # Ceres module, src/rootba/ceres/)
+        from rootba_tpu.solver.scipy_baseline import bundle_adjust_scipy
+
+        summary = bundle_adjust_scipy(problem, options, summary)
+        if timing is not None:
+            timing.optimize_time = summary.total_time_in_seconds
+        return summary
     from rootba_tpu.parallel.mesh import pad_rows_for_mesh
 
     ndev = (options.num_devices if options.num_devices > 0

@@ -77,6 +77,21 @@ def test_float32_matches_float64():
             / s64.final_cost.all.error) < 1e-3
 
 
+def test_against_external_baseline():
+    """Cross-validation against the independent scipy solver (the role
+    the Ceres path plays in the reference): sqrt-BA must reach a cost
+    at least as good (within tolerance) as the external baseline."""
+    p1 = fresh_problem()
+    s1 = bundle_adjust(p1, SolverOptions(
+        max_num_iterations=50, verbosity_level=0, bucket_pow2_from=4,
+        function_tolerance=1e-10))
+    p2 = fresh_problem()
+    s2 = bundle_adjust(p2, SolverOptions(
+        solver_type=SolverType.CERES, max_num_iterations=150,
+        verbosity_level=0))
+    assert s1.final_cost.all.error <= s2.final_cost.all.error * 1.02
+
+
 def test_backtracking_restores_state():
     """A rejected step must not change the state (backup/restore)."""
     p = fresh_problem()
