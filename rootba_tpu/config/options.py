@@ -190,6 +190,10 @@ class SolverOptions:
     vee_factor: float = opt(2.0)
 
     # --- TPU-native additions ------------------------------------------------
+    kernel_layout: str = opt(
+        "planar", help="'planar' uses [feature, landmark] SoA tensors "
+                       "(TPU lane-friendly, default); 'einsum' uses the "
+                       "readable [L,n,2,9] batched formulation")
     lm_loop: str = opt(
         "fused", help="'fused' runs the whole LM minimization as one "
                       "device program (fast; per-iteration timings are "

@@ -48,12 +48,19 @@ def shard_bucket_index(bucket, mesh: Mesh):
 
 
 def shard_state(state, mesh: Mesh):
-    """CamState replicated, landmark positions sharded."""
+    """CamState replicated, landmark positions sharded (the landmark
+    axis is leading for [L,3] einsum-layout states and trailing for
+    [3,L] planar-layout states)."""
     r = replicated(mesh)
-    s = lm_sharding(mesh)
     cams = type(state.cams)(*(jax.device_put(x, r) for x in state.cams))
-    lm_ps = tuple(jax.device_put(p, s) for p in state.lm_ps)
-    return type(state)(cams=cams, lm_ps=lm_ps)
+    lm_ps = []
+    for p in state.lm_ps:
+        if p.ndim == 2 and p.shape[0] == 3 and p.shape[1] != 3:
+            spec = NamedSharding(mesh, P(None, "lm"))  # planar [3, L]
+        else:
+            spec = lm_sharding(mesh)  # [L, 3]
+        lm_ps.append(jax.device_put(p, spec))
+    return type(state)(cams=cams, lm_ps=tuple(lm_ps))
 
 
 def pad_rows_for_mesh(num_devices: int, base_align: int = 8) -> int:

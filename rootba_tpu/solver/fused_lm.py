@@ -273,6 +273,8 @@ def optimize_lm_fused(
     solve_fn = build_fused_lm(linearizer, options)
 
     state = initial_state(bp, dtype)
+    if hasattr(linearizer, "prepare_state"):
+        state = linearizer.prepare_state(state)
     if mesh is not None:
         from rootba_tpu.parallel.mesh import shard_state
 
@@ -360,6 +362,9 @@ def optimize_lm_fused(
     if verbose:
         print(f"Final Cost: {error_summary_oneline(summary.final_cost, options.use_projection_validity_check())}")
         print(f"{summary.termination_type}: {summary.message}")
+
+    if hasattr(linearizer, "export_lm_ps"):
+        lm_ps = linearizer.export_lm_ps(lm_ps)
 
     from rootba_tpu.solver.lm import BAState
 

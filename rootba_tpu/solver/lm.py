@@ -287,6 +287,10 @@ def create_linearizer(bp: BucketedProblem, options: SolverOptions, dtype,
     from rootba_tpu.solver.explicit_sc import PowerSCLinearizer, SCLinearizer
 
     if options.solver_type == SolverType.SQUARE_ROOT:
+        if options.kernel_layout == "planar":
+            from rootba_tpu.solver.sqrt_planar import PlanarSqrtLinearizer
+
+            return PlanarSqrtLinearizer(bp, options, dtype, mesh)
         return SqrtLinearizer(bp, options, dtype, mesh)
     if options.solver_type == SolverType.SCHUR_COMPLEMENT:
         return SCLinearizer(bp, options, dtype, mesh)
@@ -364,6 +368,8 @@ def optimize_lm(
     linearizer = create_linearizer(bp, options, dtype, mesh)
     linearizer.summary = summary
     state = initial_state(bp, dtype)
+    if hasattr(linearizer, "prepare_state"):
+        state = linearizer.prepare_state(state)
     if mesh is not None:
         from rootba_tpu.parallel.mesh import shard_state
 
@@ -553,7 +559,12 @@ def optimize_lm(
         print(f"Final Cost: "
               f"{error_summary_oneline(summary.final_cost, validity_check)}")
         print(f"{summary.termination_type}: {summary.message}")
-    return linearizer.state, summary
+    final_state = linearizer.state
+    if hasattr(linearizer, "export_lm_ps"):
+        final_state = BAState(cams=final_state.cams,
+                              lm_ps=linearizer.export_lm_ps(
+                                  final_state.lm_ps))
+    return final_state, summary
 
 
 def bundle_adjust(
