@@ -191,9 +191,10 @@ class SolverOptions:
 
     # --- TPU-native additions ------------------------------------------------
     kernel_layout: str = opt(
-        "planar", help="'planar' uses [feature, landmark] SoA tensors "
-                       "(TPU lane-friendly, default); 'einsum' uses the "
-                       "readable [L,n,2,9] batched formulation")
+        "einsum", help="'einsum' uses [L,n,2,9] batched tensors (default; "
+                       "XLA picks good layouts and fuses well); 'planar' "
+                       "uses [feature, landmark] SoA tensors (experimental; "
+                       "currently slower due to op-granularity overheads)")
     lm_loop: str = opt(
         "fused", help="'fused' runs the whole LM minimization as one "
                       "device program (fast; per-iteration timings are "

@@ -80,23 +80,18 @@ def _rot_matrix_rows(qw, qx, qy, qz):
     )
 
 
-def linearize_slot(cams, X, Y, Z, bucket: PlanarBucketIndex, i: int,
-                   robust_norm: int, huber_parameter: float,
-                   use_valid_only: bool, with_jacobians: bool = True):
-    """Residual + Jacobian rows of obs slot i (all [L] vectors).
+def snavely_planes(qw, qx, qy, qz, tx, ty, tz, f, k1, k2, X, Y, Z,
+                   obs_u, obs_v, with_jacobians: bool = True):
+    """Scalarized Snavely residual + Jacobian planes over same-shape
+    component vectors (any shape; used with [L] planar slices and flat
+    [O] obs vectors). Mirrors core.projection.linearize_point
+    (reference bal_bundle_adjustment_helper.cpp:112-146).
 
-    Mirrors core.projection.linearize_point (reference
-    bal_bundle_adjustment_helper.cpp:112-146) componentwise.
-    Returns (res_u, res_v, valid, use_mask, sw, Jp_rows(18), Jl_rows(6)).
+    Returns (res_u, res_v, valid, Jp_planes(18) or None,
+    Jl_planes(6) or None); Jp order = (row u then row v) x
+    [trans(3), rot(3), intr(3)].
     """
     dtype = X.dtype
-    idx = bucket.cam_idx[i]
-    qw, qx, qy, qz = _quat_rows(cams.q, idx)
-    tT = cams.t.T
-    tx, ty, tz = tT[0][idx], tT[1][idx], tT[2][idx]
-    iT = cams.intr.T
-    f, k1, k2 = iT[0][idx], iT[1][idx], iT[2][idx]
-
     R = _rot_matrix_rows(qw, qx, qy, qz)
     x = R[0] * X + R[1] * Y + R[2] * Z + tx
     y = R[3] * X + R[4] * Y + R[5] * Z + ty
@@ -112,24 +107,11 @@ def linearize_slot(cams, X, Y, Z, bucket: PlanarBucketIndex, i: int,
     r2 = dx * dx + dy * dy
     rho = 1.0 + r2 * (k1 + r2 * k2)
     frho = f * rho
-    res_u = frho * dx - bucket.obs_u[i]
-    res_v = frho * dy - bucket.obs_v[i]
-
-    # robust weight (bal_bundle_adjustment_helper.cpp:45-65)
-    res_sq = res_u * res_u + res_v * res_v
-    if robust_norm == 1:
-        thresh = jnp.asarray(huber_parameter, dtype)
-        rn = jnp.sqrt(jnp.maximum(res_sq, jnp.finfo(dtype).tiny))
-        weight = jnp.where(res_sq < thresh * thresh, 1.0, thresh / rn)
-    else:
-        weight = jnp.ones_like(res_sq)
-    use_mask = bucket.mask[i]
-    if use_valid_only:
-        use_mask = use_mask & valid
-    sw = jnp.where(use_mask, jnp.sqrt(weight), 0.0)
+    res_u = frho * dx - obs_u
+    res_v = frho * dy - obs_v
 
     if not with_jacobians:
-        return res_u, res_v, valid, use_mask, sw, None, None
+        return res_u, res_v, valid, None, None
 
     # d res / d p_c rows (A0 = d res_u / d p_c, A1 = d res_v / d p_c)
     a = k1 + 2.0 * k2 * r2
@@ -166,8 +148,48 @@ def linearize_slot(cams, X, Y, Z, bucket: PlanarBucketIndex, i: int,
         A10 * R[1] + A11 * R[4] + A12 * R[7],
         A10 * R[2] + A11 * R[5] + A12 * R[8],
     ]
-    Jp_rows = [sw * v for v in Jp_rows]
-    Jl_rows = [sw * v for v in Jl_rows]
+    return res_u, res_v, valid, Jp_rows, Jl_rows
+
+
+def robust_sqrt_weight(res_u, res_v, valid, mask, robust_norm: int,
+                       huber_parameter: float, use_valid_only: bool):
+    """sqrt robust weight, zeroed on padded/invalid slots
+    (bal_bundle_adjustment_helper.cpp:45-65)."""
+    dtype = res_u.dtype
+    res_sq = res_u * res_u + res_v * res_v
+    if robust_norm == 1:
+        thresh = jnp.asarray(huber_parameter, dtype)
+        rn = jnp.sqrt(jnp.maximum(res_sq, jnp.finfo(dtype).tiny))
+        weight = jnp.where(res_sq < thresh * thresh, 1.0, thresh / rn)
+    else:
+        weight = jnp.ones_like(res_sq)
+    use_mask = mask & valid if use_valid_only else mask
+    return jnp.where(use_mask, jnp.sqrt(weight), 0.0), use_mask
+
+
+def linearize_slot(cams, X, Y, Z, bucket: PlanarBucketIndex, i: int,
+                   robust_norm: int, huber_parameter: float,
+                   use_valid_only: bool, with_jacobians: bool = True):
+    """Residual + Jacobian rows of obs slot i (all [L] vectors).
+
+    Returns (res_u, res_v, valid, use_mask, sw, Jp_rows(18), Jl_rows(6)).
+    """
+    idx = bucket.cam_idx[i]
+    qw, qx, qy, qz = _quat_rows(cams.q, idx)
+    tT = cams.t.T
+    tx, ty, tz = tT[0][idx], tT[1][idx], tT[2][idx]
+    iT = cams.intr.T
+    f, k1, k2 = iT[0][idx], iT[1][idx], iT[2][idx]
+
+    res_u, res_v, valid, Jp_rows, Jl_rows = snavely_planes(
+        qw, qx, qy, qz, tx, ty, tz, f, k1, k2, X, Y, Z,
+        bucket.obs_u[i], bucket.obs_v[i], with_jacobians)
+    sw, use_mask = robust_sqrt_weight(
+        res_u, res_v, valid, bucket.mask[i], robust_norm,
+        huber_parameter, use_valid_only)
+    if with_jacobians:
+        Jp_rows = [sw * v for v in Jp_rows]
+        Jl_rows = [sw * v for v in Jl_rows]
     return res_u, res_v, valid, use_mask, sw, Jp_rows, Jl_rows
 
 

@@ -69,39 +69,48 @@ def linearize_bucket(
     jacobi_scaling_eps: float,
 ):
     """Linearize one bucket. Returns (LinBucket-without-Jl-scaling
-    applied yet, jp_diag2 contribution [N,9], num_valid_failures)."""
-    from rootba_tpu.core.residuals import compute_error_weight
+    applied yet, num_valid_failures).
 
-    q = cams.q[bucket.cam_idx]  # [L,n,4]
-    t = cams.t[bucket.cam_idx]
-    intr = cams.intr[bucket.cam_idx]
-    p = lm_p[:, None, :]  # [L,1,3] broadcast over obs
+    Implemented over flat [O = L*n] component vectors (the scalarized
+    planes of ops.planar.snavely_planes): intermediates with small
+    trailing dims like [L,n,2,3] inflate ~20-50x under TPU (8,128)
+    tiling when materialized; flat [O] planes pad negligibly. Only the
+    final Jacobian tensors are assembled into the [L,n,2,9] layout.
+    """
+    from rootba_tpu.ops.planar import robust_sqrt_weight, snavely_planes
 
-    res, valid, Jp, Jl = linearize_point(
-        jnp.broadcast_to(p, q.shape[:-1] + (3,)), bucket.obs_uv, q, t, intr
-    )
+    L, n = bucket.cam_idx.shape
+    idx = bucket.cam_idx.reshape(-1)  # [O]
+    qT, tT, iT = cams.q.T, cams.t.T, cams.intr.T
+    X = jnp.broadcast_to(lm_p[:, 0:1], (L, n)).reshape(-1)
+    Y = jnp.broadcast_to(lm_p[:, 1:2], (L, n)).reshape(-1)
+    Z = jnp.broadcast_to(lm_p[:, 2:3], (L, n)).reshape(-1)
 
-    res_squared = jnp.sum(res * res, axis=-1)  # [L,n]
-    _, weight = compute_error_weight(res_squared, robust_norm, huber_parameter)
-    sqrt_weight = jnp.sqrt(weight)
-
-    use_mask = bucket.mask
-    if use_valid_projections_only:
-        use_mask = use_mask & valid
-    w = jnp.where(use_mask, sqrt_weight, 0.0)  # [L,n]
-
-    Jp = Jp * w[..., None, None]
-    Jl = Jl * w[..., None, None]
-    r = res * w[..., None]
+    res_u, res_v, valid, Jp_planes, Jl_planes = snavely_planes(
+        qT[0][idx], qT[1][idx], qT[2][idx], qT[3][idx],
+        tT[0][idx], tT[1][idx], tT[2][idx],
+        iT[0][idx], iT[1][idx], iT[2][idx],
+        X, Y, Z,
+        bucket.obs_uv[..., 0].reshape(-1),
+        bucket.obs_uv[..., 1].reshape(-1))
+    sw, use_mask = robust_sqrt_weight(
+        res_u, res_v, valid, bucket.mask.reshape(-1), robust_norm,
+        huber_parameter, use_valid_projections_only)
 
     # numerical validity over used slots (reference
     # landmark_block_base.ipp:120-125): any non-finite J/res is failure
-    finite = (
-        jnp.all(jnp.isfinite(Jp), axis=(-2, -1))
-        & jnp.all(jnp.isfinite(Jl), axis=(-2, -1))
-        & jnp.all(jnp.isfinite(res), axis=-1)
-    )
+    finite = jnp.isfinite(res_u) & jnp.isfinite(res_v)
+    for v in Jp_planes + Jl_planes:
+        finite = finite & jnp.isfinite(v)
     num_failures = jnp.sum(jnp.where(use_mask & ~finite, 1, 0))
+
+    # assemble outputs (planes stacked on the last axis -> XLA output
+    # layout assignment keeps these efficient)
+    Jp = jnp.stack([sw * v for v in Jp_planes],
+                   axis=-1).reshape(L, n, 2, POSE_SIZE)
+    Jl = jnp.stack([sw * v for v in Jl_planes],
+                   axis=-1).reshape(L, n, 2, 3)
+    r = jnp.stack([sw * res_u, sw * res_v], axis=-1).reshape(L, n, 2)
 
     return LinBucket(Jp=Jp, Jl=Jl, r=r, Jl_scale=jnp.zeros(())), num_failures
 
@@ -157,20 +166,32 @@ def compute_error_buckets(
     huber_parameter: float,
 ) -> ResidualInfo:
     """Whole-problem cost evaluation (reference
-    bal_bundle_adjustment_helper.cpp:67-109 compute_error)."""
+    bal_bundle_adjustment_helper.cpp:67-109 compute_error), over flat
+    [O] planes (see linearize_bucket for the layout rationale)."""
+    from rootba_tpu.ops.planar import snavely_planes
+
     info = empty_residual_info()
     for lm_p, bucket in zip(lm_ps, buckets):
-        q = cams.q[bucket.cam_idx]
-        t = cams.t[bucket.cam_idx]
-        intr = cams.intr[bucket.cam_idx]
-        p = jnp.broadcast_to(lm_p[:, None, :], q.shape[:-1] + (3,))
-        res, valid, _, _ = linearize_point(
-            p, bucket.obs_uv, q, t, intr, with_jacobians=False
-        )
+        L, n = bucket.cam_idx.shape
+        idx = bucket.cam_idx.reshape(-1)
+        qT, tT, iT = cams.q.T, cams.t.T, cams.intr.T
+        X = jnp.broadcast_to(lm_p[:, 0:1], (L, n)).reshape(-1)
+        Y = jnp.broadcast_to(lm_p[:, 1:2], (L, n)).reshape(-1)
+        Z = jnp.broadcast_to(lm_p[:, 2:3], (L, n)).reshape(-1)
+        res_u, res_v, valid, _, _ = snavely_planes(
+            qT[0][idx], qT[1][idx], qT[2][idx], qT[3][idx],
+            tT[0][idx], tT[1][idx], tT[2][idx],
+            iT[0][idx], iT[1][idx], iT[2][idx],
+            X, Y, Z,
+            bucket.obs_uv[..., 0].reshape(-1),
+            bucket.obs_uv[..., 1].reshape(-1),
+            with_jacobians=False)
+        res = jnp.stack([res_u, res_v], axis=-1)
         info = join_residual_info(
             info,
             accumulate_residual_info(
-                res, valid, bucket.mask, robust_norm, huber_parameter
+                res, valid, bucket.mask.reshape(-1), robust_norm,
+                huber_parameter
             ),
         )
     return info

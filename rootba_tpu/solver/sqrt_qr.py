@@ -109,21 +109,25 @@ def sqrt_stage2(
             y.reshape(-1, POSE_SIZE), flat_idx, num_segments=num_cameras
         )
 
-        # preconditioner blocks. NOTE: the scatter operand is flattened
-        # to [O, 81] -- a materialized [L,n,9,9] buffer gets (8,128)
-        # minor-dim tiling on TPU, inflating memory ~25x at scale.
-        if precond_jacobi:
-            blk = jnp.einsum("lnri,lnrj->lnij", lin.Jp, lin.Jp)
-        else:
+        # preconditioner blocks. NOTE: computed as broadcast-mul-reduce
+        # (not dot_general) and flattened to [O, 81] before the scatter:
+        # a materialized [L,n,9,9] dot output gets (8,128) minor-dim
+        # tiling on TPU, inflating memory ~25x (OOM at venice scale);
+        # the elementwise formulation fuses into the flat layout.
+        L, n = lin.Jp.shape[0], lin.Jp.shape[1]
+
+        def gram81(M):  # [O, rows, 9] -> [O, 81], no 9x9 shape anywhere
+            A = jnp.repeat(M, POSE_SIZE, axis=2)  # A[o,r,i*9+j] = M[o,r,i]
+            B = jnp.tile(M, (1, 1, POSE_SIZE))  # B[o,r,i*9+j] = M[o,r,j]
+            return jnp.sum(A * B, axis=1)
+
+        blk = gram81(lin.Jp.reshape(L * n, 2, POSE_SIZE))
+        if not precond_jacobi:
             # SCHUR_JACOBI: Jp_i' Jp_i - W_i' W_i, W_i = Q1h_i' Jp_i
             W = jnp.einsum("lnrc,lnrj->lncj", Q1h, lin.Jp)
-            blk = jnp.einsum("lnri,lnrj->lnij", lin.Jp, lin.Jp) - jnp.einsum(
-                "lnci,lncj->lnij", W, W
-            )
+            blk = blk - gram81(W.reshape(L * n, 3, POSE_SIZE))
         blocks = blocks + jax.ops.segment_sum(
-            blk.reshape(-1, POSE_SIZE * POSE_SIZE),
-            flat_idx,
-            num_segments=num_cameras,
+            blk, flat_idx, num_segments=num_cameras,
         ).reshape(num_cameras, POSE_SIZE, POSE_SIZE)
 
     # pose damping on the preconditioner diagonal (both JACOBI's explicit
