@@ -135,19 +135,15 @@ def build_fused_lm(linearizer, options: SolverOptions):
             trust_region_radius=1.0 / lam0,
         )
 
-        # initial linearization (iteration 1 always starts fresh)
-        lins0, pose_scale0, _fail0 = linearizer.stage1_pure(cams0, lm_ps0)
-
         carry0 = dict(
             cams=cams0, lm_ps=lm_ps0,
-            lins=lins0, pose_scale=pose_scale0,
             lam=lam0, vee=vee0,
             it=jnp.asarray(1, jnp.int32),
             term=jnp.asarray(TERM_RUNNING, jnp.int32),
             ri=ri0,
-            new_lin_point=jnp.asarray(False),  # lins0 is fresh
+            new_lin_point=jnp.asarray(True),
             logs=logs,
-            n_jac=jnp.asarray(1, jnp.int32),
+            n_jac=jnp.asarray(0, jnp.int32),
             n_res=jnp.asarray(1, jnp.int32),
             n_sol=jnp.asarray(0, jnp.int32),
         )
@@ -158,15 +154,14 @@ def build_fused_lm(linearizer, options: SolverOptions):
         def body(c):
             cams, lm_ps = c["cams"], c["lm_ps"]
 
-            def relinearize(_):
-                lins, ps, _f = linearizer.stage1_pure(cams, lm_ps)
-                return lins, ps
-
-            def keep(_):
-                return c["lins"], c["pose_scale"]
-
-            lins, pose_scale = jax.lax.cond(
-                c["new_lin_point"], relinearize, keep, None)
+            # Linearize unconditionally: during backtracking the state is
+            # unchanged, so this recomputes bit-identical values -- the
+            # reference's "reuse the linearization" (new_linearization_
+            # point_ flag) is an optimization for CPUs where relinearizing
+            # is expensive; on TPU, NOT carrying the [L,n,2,9] tensors
+            # through the while loop avoids padded carry layouts and
+            # relayout copies that cost far more than the recompute.
+            lins, pose_scale, _f = linearizer.stage1_pure(cams, lm_ps)
             n_jac = c["n_jac"] + jnp.where(c["new_lin_point"], 1, 0)
 
             lam = c["lam"]
@@ -231,7 +226,7 @@ def build_fused_lm(linearizer, options: SolverOptions):
             )
 
             return dict(
-                cams=cams, lm_ps=lm_ps, lins=lins, pose_scale=pose_scale,
+                cams=cams, lm_ps=lm_ps,
                 lam=lam_new, vee=vee_new,
                 it=c["it"] + 1, term=term, ri=ri,
                 new_lin_point=success, logs=logs,

@@ -123,9 +123,15 @@ def sqrt_stage2(
 
         blk = gram81(lin.Jp.reshape(L * n, 2, POSE_SIZE))
         if not precond_jacobi:
-            # SCHUR_JACOBI: Jp_i' Jp_i - W_i' W_i, W_i = Q1h_i' Jp_i
-            W = jnp.einsum("lnrc,lnrj->lncj", Q1h, lin.Jp)
-            blk = blk - gram81(W.reshape(L * n, 3, POSE_SIZE))
+            # SCHUR_JACOBI: Jp_i' Jp_i - W_i' W_i, W_i = Q1h_i' Jp_i.
+            # W computed 27-wide by repeat/tile (a dot_general producing
+            # [L,n,3,9] materializes 19x padded at scale)
+            Q1h_f = Q1h.reshape(L * n, 2, 3)
+            Jp_f = lin.Jp.reshape(L * n, 2, POSE_SIZE)
+            A = jnp.repeat(Q1h_f, POSE_SIZE, axis=2)  # [O,2,27]
+            B = jnp.tile(Jp_f, (1, 1, 3))  # [O,2,27]
+            W27 = jnp.sum(A * B, axis=1)  # W27[o, c*9+j]
+            blk = blk - gram81(W27.reshape(L * n, 3, POSE_SIZE))
         blocks = blocks + jax.ops.segment_sum(
             blk, flat_idx, num_segments=num_cameras,
         ).reshape(num_cameras, POSE_SIZE, POSE_SIZE)

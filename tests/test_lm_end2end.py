@@ -105,6 +105,26 @@ def test_backtracking_restores_state():
     assert all(b <= a * (1 + 1e-12) for a, b in zip(costs, costs[1:]))
 
 
+def test_huber_robust_norm():
+    """HUBER solve converges and its cost matches a manual numpy
+    evaluation of the robustified cost (reference
+    bal_bundle_adjustment_helper.cpp:45-65 semantics)."""
+    from rootba_tpu.config.options import RobustNorm
+    from rootba_tpu.solver.scipy_baseline import compute_residual_info
+
+    p = fresh_problem()
+    opts = SolverOptions(max_num_iterations=8, verbosity_level=0,
+                         bucket_pow2_from=4)
+    opts.residual.robust_norm = RobustNorm.HUBER
+    opts.residual.huber_parameter = 1.0
+    s = bundle_adjust(p, opts)
+    assert s.final_cost.all.error < s.initial_cost.all.error
+    # recompute robustified cost on the optimized state with numpy
+    ri = compute_residual_info(p, opts)
+    np.testing.assert_allclose(ri.all.error, s.final_cost.all.error,
+                               rtol=1e-9)
+
+
 def test_cli_end_to_end(tmp_path):
     from rootba_tpu.cli.bal import run_app
 
