@@ -66,7 +66,8 @@ def main():
     state = initial_state(bp, "float32")
 
     # compile + warm up on the real shapes
-    out = jax.block_until_ready(solve_fn(state.cams, state.lm_ps))
+    out = jax.block_until_ready(
+        solve_fn(linearizer.consts, state.cams, state.lm_ps))
 
     # timed: median of 3 full 20-iteration LM solves (device execution
     # only -- the reference's 0.32 s is AOT-compiled C++, so compile
@@ -74,7 +75,8 @@ def main():
     times = []
     for _ in range(3):
         t0 = time.monotonic()
-        out = jax.block_until_ready(solve_fn(state.cams, state.lm_ps))
+        out = jax.block_until_ready(
+            solve_fn(linearizer.consts, state.cams, state.lm_ps))
         times.append(time.monotonic() - t0)
     elapsed = sorted(times)[1]
     final_cost = float(out[2].cost_all_error[int(out[4]) - 1])

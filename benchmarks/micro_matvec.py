@@ -44,7 +44,7 @@ def build_case(num_cams, num_lms, mean_obs, seed=0):
     state = initial_state(bp, jnp.float32)
     lin.set_state(state)
     lins, pose_scale, _ = jax.block_until_ready(
-        lin._stage1_fn(state.cams, state.lm_ps))
+        lin._stage1_fn(lin.consts, state.cams, state.lm_ps))
     return lin, lins
 
 

@@ -196,12 +196,19 @@ class SolverOptions:
                        "uses [feature, landmark] SoA tensors (experimental; "
                        "currently slower due to op-granularity overheads)")
     lm_loop: str = opt(
-        "fused", help="'fused' runs the whole LM minimization as one "
-                      "device program (fast; per-iteration timings are "
-                      "attributed from the total); 'host' drives each "
-                      "stage from the host like the reference C++ "
-                      "(accurate stage timings, slower on high-latency "
-                      "device links)")
+        "auto", help="'fused' runs the whole LM minimization as one "
+                     "device program (fast; per-iteration timings are "
+                     "attributed from the total); 'host' drives each "
+                     "stage from the host like the reference C++ "
+                     "(accurate stage timings, slower on high-latency "
+                     "device links); 'auto' picks fused below "
+                     "fused_obs_threshold observations and host above "
+                     "(one mega-program at multi-million-obs scale "
+                     "overwhelms the XLA compile step)")
+    fused_obs_threshold: int = opt(
+        2_000_000, help="problem size (total observations) above which "
+                        "lm_loop='auto' switches from the fused device "
+                        "loop to host-driven stages")
     num_devices: int = opt(
         0, help="number of devices to shard landmark blocks over (0 = all)")
     bucket_pow2_from: int = opt(

@@ -73,13 +73,18 @@ def damped_hll_inv(lin, bucket, lam) -> jnp.ndarray:
 
 
 class PairStructure(NamedTuple):
-    """Static sparsity of the RCS (computed once on host)."""
+    """Static sparsity of the RCS (computed once on host). All fields
+    are arrays so the structure can be passed as a jit argument; the
+    pair count is recovered statically as pair_row.shape[0]."""
 
     pair_row: jnp.ndarray  # [P] int32
     pair_col: jnp.ndarray  # [P] int32
     pair_ids: Tuple[jnp.ndarray, ...]  # per bucket [L,n,n] int32 (P = dummy)
     diag_pid: jnp.ndarray  # [N] int32 (P = camera unobserved)
-    num_pairs: int
+
+    @property
+    def num_pairs(self) -> int:
+        return self.pair_row.shape[0]
 
 
 def build_pair_structure(bp, num_cameras: int) -> PairStructure:
@@ -109,7 +114,6 @@ def build_pair_structure(bp, num_cameras: int) -> PairStructure:
         pair_col=jnp.asarray((unique % N).astype(np.int32)),
         pair_ids=pair_ids,
         diag_pid=jnp.asarray(diag_pid),
-        num_pairs=P,
     )
 
 
@@ -281,6 +285,9 @@ class SCLinearizer(LinearizerBase):
     def _build(self):
         opts = self.options
         self.pairs = build_pair_structure(self.bp, self.num_cameras)
+        # buckets + RCS sparsity structure as runtime args (see
+        # LinearizerBase.consts: avoids giant embedded HLO constants)
+        self.consts = (self.buckets, self.pairs)
         precond_type = opts.preconditioner_type
         if precond_type not in (PreconditionerType.SCHUR_JACOBI,
                                 PreconditionerType.POWER_SCHUR_COMPLEMENT):
@@ -290,28 +297,30 @@ class SCLinearizer(LinearizerBase):
 
         from rootba_tpu.solver.linearization import compute_error_buckets
 
-        def error_fn(cams, lm_ps):
+        def error_fn(consts, cams, lm_ps):
+            buckets, _ = consts
             return compute_error_buckets(
-                cams, lm_ps, self.buckets, self.robust_norm, self.huber)
+                cams, lm_ps, buckets, self.robust_norm, self.huber)
 
-        def stage1_fn(cams, lm_ps):
-            return self._stage1_common(cams, lm_ps)
+        def stage1_fn(consts, cams, lm_ps):
+            return self._stage1_common(consts[0], cams, lm_ps)
 
-        def solve_fn(lins, lam):
-            stage2 = sc_assemble(lins, self.buckets, self.pairs, lam,
+        def solve_fn(consts, lins, lam):
+            buckets, pairs = consts
+            stage2 = sc_assemble(lins, buckets, pairs, lam,
                                  self.num_cameras)
 
             def matvec(x):
-                return sc_matvec(stage2, self.pairs, self.num_cameras, x)
+                return sc_matvec(stage2, pairs, self.num_cameras, x)
 
             if precond_type == PreconditionerType.SCHUR_JACOBI:
                 chol = jnp.linalg.cholesky(
-                    sc_diag_blocks(stage2, self.pairs, self.num_cameras))
+                    sc_diag_blocks(stage2, pairs, self.num_cameras))
 
                 def precond(r):
                     return precond_apply(chol, r)
             else:
-                jacobi = jp_gram_blockdiag(lins, self.buckets, lam,
+                jacobi = jp_gram_blockdiag(lins, buckets, lam,
                                            self.num_cameras)
                 # SPD -> Cholesky solves (reference uses llt().solve(I),
                 # preconditioner.hpp:169-174; solves are equivalent)
@@ -321,7 +330,7 @@ class SCLinearizer(LinearizerBase):
                     return precond_apply(hpp_chol, v)
 
                 def apply_e0(v):
-                    return e0_matvec(lins, self.buckets, stage2.Hll_inv,
+                    return e0_matvec(lins, buckets, stage2.Hll_inv,
                                      self.num_cameras, v)
 
                 def precond(r):
@@ -344,9 +353,9 @@ class SCLinearizer(LinearizerBase):
             return (-res.x, stage2, res.num_iterations,
                     res.termination_type)
 
-        def apply_fn(cams, lm_ps, lins, stage2, pose_scale, inc):
+        def apply_fn(consts, cams, lm_ps, lins, stage2, pose_scale, inc):
             new_lm_ps, l_diff = sc_back_substitute(
-                lins, self.buckets, stage2.Hll_inv, lm_ps, inc)
+                lins, consts[0], stage2.Hll_inv, lm_ps, inc)
             inc_scaled = inc * pose_scale
             q, t = lie.apply_inc_pose(cams.q, cams.t, inc_scaled[:, :6])
             intr = cams.intr + inc_scaled[:, 6:9]
@@ -366,7 +375,7 @@ class SCLinearizer(LinearizerBase):
     def linearize(self):
         t0 = time.monotonic()
         lins, pose_scale, failures = jax.block_until_ready(
-            self._stage1_fn(self.state.cams, self.state.lm_ps))
+            self._stage1_fn(self.consts, self.state.cams, self.state.lm_ps))
         if int(failures) > 0:
             raise FloatingPointError("numerical failure during linearization")
         self._lins = lins
@@ -382,7 +391,7 @@ class SCLinearizer(LinearizerBase):
         t0 = time.monotonic()
         lam_arr = jnp.asarray(lam, self.dtype)
         inc, stage2, cg_iters, cg_term = jax.block_until_ready(
-            self._solve_fn(self._lins, lam_arr))
+            self._solve_fn(self.consts, self._lins, lam_arr))
         self._stage2 = stage2
         if self.it_summary is not None:
             dt = time.monotonic() - t0
@@ -397,8 +406,8 @@ class SCLinearizer(LinearizerBase):
     def apply(self, inc):
         t0 = time.monotonic()
         cams, lm_ps, l_diff = jax.block_until_ready(self._apply_fn(
-            self.state.cams, self.state.lm_ps, self._lins, self._stage2,
-            self._pose_scale, inc))
+            self.consts, self.state.cams, self.state.lm_ps, self._lins,
+            self._stage2, self._pose_scale, inc))
         if self.it_summary is not None:
             self.it_summary.back_substitution_time_in_seconds = (
                 time.monotonic() - t0)
@@ -414,22 +423,26 @@ class PowerSCLinearizer(SCLinearizer):
 
     def _build(self):
         opts = self.options
+        # buckets only (no explicit RCS); wrapped in a 2-tuple so the
+        # host methods inherited from SCLinearizer stay uniform
+        self.consts = (self.buckets, ())
 
         from rootba_tpu.solver.linearization import compute_error_buckets
 
-        def error_fn(cams, lm_ps):
+        def error_fn(consts, cams, lm_ps):
             return compute_error_buckets(
-                cams, lm_ps, self.buckets, self.robust_norm, self.huber)
+                cams, lm_ps, consts[0], self.robust_norm, self.huber)
 
-        def stage1_fn(cams, lm_ps):
-            return self._stage1_common(cams, lm_ps)
+        def stage1_fn(consts, cams, lm_ps):
+            return self._stage1_common(consts[0], cams, lm_ps)
 
-        def solve_fn(lins, lam):
+        def solve_fn(consts, lins, lam):
+            buckets = consts[0]
             dtype = lins[0].Jp.dtype
             # per-bucket damped Hll^-1 + RHS b (landmark_block stage())
             Hll_invs = []
             b = jnp.zeros((self.num_cameras, P9), dtype)
-            for lin, bucket in zip(lins, self.buckets):
+            for lin, bucket in zip(lins, buckets):
                 L, n = lin.Jp.shape[0], lin.Jp.shape[1]
                 Jl2 = lin.Jl.reshape(L, 2 * n, 3)
                 r2 = lin.r.reshape(L, 2 * n)
@@ -444,7 +457,7 @@ class PowerSCLinearizer(SCLinearizer):
                     num_segments=self.num_cameras)
             Hll_invs = tuple(Hll_invs)
 
-            hpp = jp_gram_blockdiag(lins, self.buckets, lam,
+            hpp = jp_gram_blockdiag(lins, buckets, lam,
                                     self.num_cameras)
             # SPD -> Cholesky solves (reference llt(),
             # sc/linearization_power_sc.hpp:111-124)
@@ -454,7 +467,7 @@ class PowerSCLinearizer(SCLinearizer):
                 return precond_apply(hpp_chol, v)
 
             def apply_e0(v):
-                return e0_matvec(lins, self.buckets, Hll_invs,
+                return e0_matvec(lins, buckets, Hll_invs,
                                  self.num_cameras, v)
 
             inc, iters = power_series_solve(
@@ -464,9 +477,9 @@ class PowerSCLinearizer(SCLinearizer):
                               Hll_inv=Hll_invs, lam=jnp.asarray(lam, dtype))
             return inc, stage2, iters, jnp.asarray(1, jnp.int32)
 
-        def apply_fn(cams, lm_ps, lins, stage2, pose_scale, inc):
+        def apply_fn(consts, cams, lm_ps, lins, stage2, pose_scale, inc):
             new_lm_ps, l_diff = sc_back_substitute(
-                lins, self.buckets, stage2.Hll_inv, lm_ps, inc)
+                lins, consts[0], stage2.Hll_inv, lm_ps, inc)
             inc_scaled = inc * pose_scale
             q, t = lie.apply_inc_pose(cams.q, cams.t, inc_scaled[:, :6])
             intr = cams.intr + inc_scaled[:, 6:9]

@@ -104,8 +104,8 @@ def build_fused_lm(linearizer, options: SolverOptions):
                 out[name] = arr
         return IterLog(**out)
 
-    def solve(cams0, lm_ps0):
-        ri0 = linearizer.error_pure(cams0, lm_ps0)
+    def solve(consts, cams0, lm_ps0):
+        ri0 = linearizer.error_pure(consts, cams0, lm_ps0)
         lam0 = jnp.asarray(1.0 / options.initial_trust_region_radius, fdtype)
         vee0 = jnp.asarray(options.initial_vee, fdtype)
 
@@ -161,17 +161,18 @@ def build_fused_lm(linearizer, options: SolverOptions):
             # is expensive; on TPU, NOT carrying the [L,n,2,9] tensors
             # through the while loop avoids padded carry layouts and
             # relayout copies that cost far more than the recompute.
-            lins, pose_scale, _f = linearizer.stage1_pure(cams, lm_ps)
+            lins, pose_scale, _f = linearizer.stage1_pure(
+                consts, cams, lm_ps)
             n_jac = c["n_jac"] + jnp.where(c["new_lin_point"], 1, 0)
 
             lam = c["lam"]
             inc, stage2, cg_iters, _cg_term = linearizer.solve_pure(
-                lins, lam.astype(linearizer.dtype))
+                consts, lins, lam.astype(linearizer.dtype))
             inc_finite = jnp.all(jnp.isfinite(inc))
 
             new_cams, new_lm_ps, l_diff = linearizer.apply_pure(
-                cams, lm_ps, lins, stage2, pose_scale, inc)
-            ri2 = linearizer.error_pure(new_cams, new_lm_ps)
+                consts, cams, lm_ps, lins, stage2, pose_scale, inc)
+            ri2 = linearizer.error_pure(consts, new_cams, new_lm_ps)
 
             prev = c["ri"]
             f_diff = (cost_scalar(prev) - cost_scalar(ri2)).astype(fdtype)
@@ -277,7 +278,8 @@ def optimize_lm_fused(
 
     summary.preprocessor_time_in_seconds = time.monotonic() - t_total
     t_min = time.monotonic()
-    out = jax.block_until_ready(solve_fn(state.cams, state.lm_ps))
+    out = jax.block_until_ready(
+        solve_fn(linearizer.consts, state.cams, state.lm_ps))
     minimizer_time = time.monotonic() - t_min
     (cams, lm_ps, logs, term, it_count, n_jac, n_res, n_sol) = out
 

@@ -109,6 +109,13 @@ class LinearizerBase:
 
             self.buckets = tuple(
                 shard_bucket_index(b, mesh) for b in self.buckets)
+        # Static per-problem tensors (bucket indices, sparsity structures)
+        # are passed to every jitted stage as a runtime argument: closing
+        # over them would embed them as HLO constants, which at
+        # venice/final scale means 100s of MB of literals in the program
+        # (OOM-killing the compile server). Subclasses may extend this in
+        # _build().
+        self.consts = self.buckets
         self.robust_norm = (1 if options.residual.robust_norm
                             == RobustNorm.HUBER else 0)
         self.huber = float(options.residual.huber_parameter)
@@ -127,7 +134,7 @@ class LinearizerBase:
 
     def compute_error(self) -> ResidualInfoHost:
         t0 = time.monotonic()
-        info = self._error_fn(self.state.cams, self.state.lm_ps)
+        info = self._error_fn(self.consts, self.state.cams, self.state.lm_ps)
         info = jax.block_until_ready(info)
         if self.it_summary is not None:
             self.it_summary.residual_evaluation_time_in_seconds += (
@@ -136,12 +143,12 @@ class LinearizerBase:
             self.summary.num_residual_evaluations += 1
         return ResidualInfoHost.from_device(info)
 
-    def _stage1_common(self, cams, lm_ps):
+    def _stage1_common(self, buckets, cams, lm_ps):
         """Linearize all buckets, jl scaling, pose jacobi scaling."""
         lins = []
         diag2 = jnp.zeros((self.num_cameras, POSE_SIZE), self.dtype)
         failures = jnp.zeros((), jnp.int32)
-        for lm_p, bucket in zip(lm_ps, self.buckets):
+        for lm_p, bucket in zip(lm_ps, buckets):
             lin, nfail = linearize_bucket(
                 cams, lm_p, bucket, self.robust_norm, self.huber,
                 self.options.use_projection_validity_check(),
@@ -156,7 +163,7 @@ class LinearizerBase:
             pose_scale = jnp.ones_like(diag2)
         lins = tuple(
             scale_jp_cols(lin, bucket.cam_idx, pose_scale)
-            for lin, bucket in zip(lins, self.buckets))
+            for lin, bucket in zip(lins, buckets))
         return lins, pose_scale, failures
 
     # -- interface -----------------------------------------------------
@@ -188,21 +195,21 @@ class SqrtLinearizer(LinearizerBase):
                 f"preconditioner {opts.preconditioner_type} not implemented "
                 f"for the SQUARE_ROOT solver")
 
-        def error_fn(cams, lm_ps):
+        def error_fn(buckets, cams, lm_ps):
             return compute_error_buckets(
-                cams, lm_ps, self.buckets, self.robust_norm, self.huber)
+                cams, lm_ps, buckets, self.robust_norm, self.huber)
 
-        def stage1_fn(cams, lm_ps):
-            return self._stage1_common(cams, lm_ps)
+        def stage1_fn(buckets, cams, lm_ps):
+            return self._stage1_common(buckets, cams, lm_ps)
 
-        def solve_fn(lins, lam):
+        def solve_fn(buckets, lins, lam):
             stage2 = sqrt_qr.sqrt_stage2(
-                lins, self.buckets, lam, self.num_cameras,
+                lins, buckets, lam, self.num_cameras,
                 precond_jacobi=precond_jacobi)
 
             def matvec(x):
                 return sqrt_qr.sqrt_matvec(
-                    lins, self.buckets, stage2, self.num_cameras, x)
+                    lins, buckets, stage2, self.num_cameras, x)
 
             def precond(r):
                 return sqrt_qr.precond_apply(stage2.precond_chol, r)
@@ -218,9 +225,9 @@ class SqrtLinearizer(LinearizerBase):
             return (-res.x, stage2, res.num_iterations,
                     res.termination_type)
 
-        def apply_fn(cams, lm_ps, lins, stage2, pose_scale, inc):
+        def apply_fn(buckets, cams, lm_ps, lins, stage2, pose_scale, inc):
             new_lm_ps, l_diff = sqrt_qr.sqrt_back_substitute(
-                lins, self.buckets, stage2, lm_ps, inc)
+                lins, buckets, stage2, lm_ps, inc)
             inc_scaled = inc * pose_scale
             q, t = lie.apply_inc_pose(cams.q, cams.t, inc_scaled[:, :6])
             intr = cams.intr + inc_scaled[:, 6:9]
@@ -239,7 +246,7 @@ class SqrtLinearizer(LinearizerBase):
     def linearize(self):
         t0 = time.monotonic()
         lins, pose_scale, failures = jax.block_until_ready(
-            self._stage1_fn(self.state.cams, self.state.lm_ps))
+            self._stage1_fn(self.consts, self.state.cams, self.state.lm_ps))
         if int(failures) > 0:
             raise FloatingPointError(
                 f"numerical failure during linearization "
@@ -257,7 +264,7 @@ class SqrtLinearizer(LinearizerBase):
         t0 = time.monotonic()
         lam_arr = jnp.asarray(lam, self.dtype)
         inc, stage2, cg_iters, cg_term = jax.block_until_ready(
-            self._solve_fn(self._lins, lam_arr))
+            self._solve_fn(self.consts, self._lins, lam_arr))
         self._stage2 = stage2
         if self.it_summary is not None:
             dt = time.monotonic() - t0
@@ -274,8 +281,8 @@ class SqrtLinearizer(LinearizerBase):
     def apply(self, inc: jnp.ndarray) -> Tuple[BAState, float]:
         t0 = time.monotonic()
         cams, lm_ps, l_diff = jax.block_until_ready(self._apply_fn(
-            self.state.cams, self.state.lm_ps, self._lins, self._stage2,
-            self._pose_scale, inc))
+            self.consts, self.state.cams, self.state.lm_ps, self._lins,
+            self._stage2, self._pose_scale, inc))
         if self.it_summary is not None:
             self.it_summary.back_substitution_time_in_seconds = (
                 time.monotonic() - t0)
@@ -594,7 +601,11 @@ def bundle_adjust(
             else (len(jax.devices()) if options.num_devices != 1 else 1))
     bp = bucketize(problem, pow2_from=options.bucket_pow2_from,
                    row_align=pad_rows_for_mesh(ndev))
-    if options.lm_loop == "fused":
+    lm_loop = options.lm_loop
+    if lm_loop == "auto":
+        lm_loop = ("fused" if problem.num_observations
+                   <= options.fused_obs_threshold else "host")
+    if lm_loop == "fused":
         from rootba_tpu.solver.fused_lm import optimize_lm_fused
 
         state, summary = optimize_lm_fused(bp, options, summary)

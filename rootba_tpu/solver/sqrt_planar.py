@@ -60,11 +60,13 @@ class PlanarSqrtLinearizer(LinearizerBase):
                 f"preconditioner {opts.preconditioner_type} not implemented "
                 f"for the SQUARE_ROOT solver")
         self.pbuckets = tuple(pl.to_planar_bucket(b) for b in self.buckets)
+        # planar buckets as runtime args (see LinearizerBase.consts)
+        self.consts = self.pbuckets
         N = self.num_cameras
         use_valid = self.options.use_projection_validity_check()
 
         # ---- error ----------------------------------------------------
-        def error_fn(cams, lm_ps):
+        def error_fn(pbuckets, cams, lm_ps):
             from rootba_tpu.core.residuals import (
                 ResidualInfo,
                 ResidualItem,
@@ -76,7 +78,7 @@ class PlanarSqrtLinearizer(LinearizerBase):
             zi = jnp.zeros((), jnp.int32)
             tots = dict(ae=za, ar=za, an=zi, ve=za, vr=za, vn=zi,
                         finite=jnp.asarray(True))
-            for lm_pl, bucket in zip(lm_ps, self.pbuckets):
+            for lm_pl, bucket in zip(lm_ps, pbuckets):
                 X, Y, Z = lm_pl[0], lm_pl[1], lm_pl[2]
                 for i in range(bucket.cam_idx.shape[0]):
                     res_u, res_v, valid, _, _, _, _ = pl.linearize_slot(
@@ -111,11 +113,11 @@ class PlanarSqrtLinearizer(LinearizerBase):
             )
 
         # ---- stage 1 --------------------------------------------------
-        def stage1_fn(cams, lm_ps):
+        def stage1_fn(pbuckets, cams, lm_ps):
             raw = []
             diag2 = jnp.zeros((N, P9), self.dtype)
             failures = jnp.zeros((), jnp.int32)
-            for lm_pl, bucket in zip(lm_ps, self.pbuckets):
+            for lm_pl, bucket in zip(lm_ps, pbuckets):
                 n, L = bucket.cam_idx.shape
                 X, Y, Z = lm_pl[0], lm_pl[1], lm_pl[2]
                 Jp_rows_all = []
@@ -187,14 +189,14 @@ class PlanarSqrtLinearizer(LinearizerBase):
             return tuple(lins), pose_scale, failures
 
         # ---- stage 2 + CG --------------------------------------------
-        def stage2(lins, lam):
+        def stage2(pbuckets, lins, lam):
             dtype = self.dtype
             sqrt_lam = jnp.sqrt(lam).astype(dtype)
             b_accum = jnp.zeros((N, P9), dtype)
             blocks = jnp.zeros((N, P9 * P9), dtype)
             Q1hs = []
             Rs = []
-            for lin, bucket in zip(lins, self.pbuckets):
+            for lin, bucket in zip(lins, pbuckets):
                 n, L = bucket.cam_idx.shape
                 m = 2 * n + 3
                 cols = []
@@ -256,10 +258,10 @@ class PlanarSqrtLinearizer(LinearizerBase):
                                 precond_chol=chol,
                                 lam=jnp.asarray(lam, dtype))
 
-        def matvec(lins, stage2_data, x):
+        def matvec(pbuckets, lins, stage2_data, x):
             y = stage2_data.lam.astype(x.dtype) * x
             xT = x.T  # [9, N]
-            for lin, bucket, Q1h_arr in zip(lins, self.pbuckets,
+            for lin, bucket, Q1h_arr in zip(lins, pbuckets,
                                             stage2_data.Q1h):
                 n, L = bucket.cam_idx.shape
                 Q1h = [Q1h_arr[c * 2 * n:(c + 1) * 2 * n]
@@ -286,11 +288,11 @@ class PlanarSqrtLinearizer(LinearizerBase):
                                             P9)
             return y
 
-        def solve_fn(lins, lam):
-            s2 = stage2(lins, lam)
+        def solve_fn(pbuckets, lins, lam):
+            s2 = stage2(pbuckets, lins, lam)
 
             res = pcg(
-                lambda x: matvec(lins, s2, x),
+                lambda x: matvec(pbuckets, lins, s2, x),
                 lambda r: precond_apply(s2.precond_chol, r),
                 s2.b,
                 min_num_iterations=opts.min_linear_solver_iterations,
@@ -301,12 +303,12 @@ class PlanarSqrtLinearizer(LinearizerBase):
             return (-res.x, s2, res.num_iterations, res.termination_type)
 
         # ---- apply ----------------------------------------------------
-        def apply_fn(cams, lm_ps, lins, s2, pose_scale, inc):
+        def apply_fn(pbuckets, cams, lm_ps, lins, s2, pose_scale, inc):
             l_diff = jnp.zeros((), jnp.result_type(inc.dtype, jnp.float32))
             new_lm_ps = []
             incT = inc.T
             for lin, bucket, Q1h_arr, R_arr, lm_pl in zip(
-                    lins, self.pbuckets, s2.Q1h, s2.R, lm_ps):
+                    lins, pbuckets, s2.Q1h, s2.R, lm_ps):
                 n, L = bucket.cam_idx.shape
                 Q1h = [Q1h_arr[c * 2 * n:(c + 1) * 2 * n]
                        for c in range(3)]
@@ -366,7 +368,7 @@ class PlanarSqrtLinearizer(LinearizerBase):
     # host-loop interface reuses SqrtLinearizer's pattern
     def linearize(self):
         lins, pose_scale, failures = jax.block_until_ready(
-            self._stage1_fn(self.state.cams, self.state.lm_ps))
+            self._stage1_fn(self.consts, self.state.cams, self.state.lm_ps))
         if int(failures) > 0:
             raise FloatingPointError("numerical failure during linearization")
         self._lins = lins
@@ -374,7 +376,8 @@ class PlanarSqrtLinearizer(LinearizerBase):
 
     def solve(self, lam):
         inc, s2, iters, term = jax.block_until_ready(
-            self._solve_fn(self._lins, jnp.asarray(lam, self.dtype)))
+            self._solve_fn(self.consts, self._lins,
+                           jnp.asarray(lam, self.dtype)))
         self._stage2 = s2
         if self.it_summary is not None:
             self.it_summary.linear_solver_iterations = int(iters)
@@ -383,6 +386,6 @@ class PlanarSqrtLinearizer(LinearizerBase):
 
     def apply(self, inc):
         cams, lm_ps, l_diff = jax.block_until_ready(self._apply_fn(
-            self.state.cams, self.state.lm_ps, self._lins, self._stage2,
-            self._pose_scale, inc))
+            self.consts, self.state.cams, self.state.lm_ps, self._lins,
+            self._stage2, self._pose_scale, inc))
         return BAState(cams=cams, lm_ps=lm_ps), float(l_diff)

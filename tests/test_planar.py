@@ -46,8 +46,8 @@ def test_planar_stage1_matches_einsum(setup):
     state = initial_state(bp, jnp.float64)
     state_p = lin_p.prepare_state(state)
 
-    lins_e, ps_e, _ = jax.jit(lin_e.stage1_pure)(state.cams, state.lm_ps)
-    lins_p, ps_p, _ = jax.jit(lin_p.stage1_pure)(state_p.cams,
+    lins_e, ps_e, _ = jax.jit(lin_e.stage1_pure)(lin_e.consts, state.cams, state.lm_ps)
+    lins_p, ps_p, _ = jax.jit(lin_p.stage1_pure)(lin_p.consts, state_p.cams,
                                                  state_p.lm_ps)
     np.testing.assert_allclose(np.asarray(ps_p), np.asarray(ps_e),
                                rtol=1e-12)
@@ -74,14 +74,14 @@ def test_planar_solve_matches_einsum(setup):
 
     lin_e = SqrtLinearizer(bp, opts, jnp.float64)
     state = initial_state(bp, jnp.float64)
-    lins_e, ps_e, _ = jax.jit(lin_e.stage1_pure)(state.cams, state.lm_ps)
-    inc_e, s2_e, it_e, _ = jax.jit(lin_e.solve_pure)(lins_e, lam)
+    lins_e, ps_e, _ = jax.jit(lin_e.stage1_pure)(lin_e.consts, state.cams, state.lm_ps)
+    inc_e, s2_e, it_e, _ = jax.jit(lin_e.solve_pure)(lin_e.consts, lins_e, lam)
 
     lin_p = PlanarSqrtLinearizer(bp, opts, jnp.float64)
     state_p = lin_p.prepare_state(state)
-    lins_p, ps_p, _ = jax.jit(lin_p.stage1_pure)(state_p.cams,
+    lins_p, ps_p, _ = jax.jit(lin_p.stage1_pure)(lin_p.consts, state_p.cams,
                                                  state_p.lm_ps)
-    inc_p, s2_p, it_p, _ = jax.jit(lin_p.solve_pure)(lins_p, lam)
+    inc_p, s2_p, it_p, _ = jax.jit(lin_p.solve_pure)(lin_p.consts, lins_p, lam)
 
     np.testing.assert_allclose(np.asarray(s2_p.b), np.asarray(s2_e.b),
                                rtol=1e-9, atol=1e-11)
@@ -91,9 +91,10 @@ def test_planar_solve_matches_einsum(setup):
 
     # apply
     cams_e, lm_e, ld_e = jax.jit(lin_e.apply_pure)(
-        state.cams, state.lm_ps, lins_e, s2_e, ps_e, inc_e)
+        lin_e.consts, state.cams, state.lm_ps, lins_e, s2_e, ps_e, inc_e)
     cams_p, lm_p2, ld_p = jax.jit(lin_p.apply_pure)(
-        state_p.cams, state_p.lm_ps, lins_p, s2_p, ps_p, inc_p)
+        lin_p.consts, state_p.cams, state_p.lm_ps, lins_p, s2_p, ps_p,
+        inc_p)
     np.testing.assert_allclose(float(ld_p), float(ld_e), rtol=1e-9)
     for a, b in zip(lin_p.export_lm_ps(lm_p2), lm_e):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -108,8 +109,8 @@ def test_planar_error_matches_einsum(setup):
     lin_p = PlanarSqrtLinearizer(bp, opts, jnp.float64)
     state = initial_state(bp, jnp.float64)
     state_p = lin_p.prepare_state(state)
-    ri_e = jax.jit(lin_e.error_pure)(state.cams, state.lm_ps)
-    ri_p = jax.jit(lin_p.error_pure)(state_p.cams, state_p.lm_ps)
+    ri_e = jax.jit(lin_e.error_pure)(lin_e.consts, state.cams, state.lm_ps)
+    ri_p = jax.jit(lin_p.error_pure)(lin_p.consts, state_p.cams, state_p.lm_ps)
     np.testing.assert_allclose(float(ri_p.all.error),
                                float(ri_e.all.error), rtol=1e-12)
     assert int(ri_p.valid.num_obs) == int(ri_e.valid.num_obs)

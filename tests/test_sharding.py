@@ -75,13 +75,13 @@ def test_fused_solve_sharded():
     lin1 = SqrtLinearizer(bp, opts, jnp.float64)
     fn1 = build_fused_lm(lin1, opts)
     s1 = initial_state(bp, jnp.float64)
-    out1 = jax.block_until_ready(fn1(s1.cams, s1.lm_ps))
+    out1 = jax.block_until_ready(fn1(lin1.consts, s1.cams, s1.lm_ps))
 
     mesh = make_mesh(8)
     lin8 = SqrtLinearizer(bp, opts, jnp.float64, mesh)
     fn8 = build_fused_lm(lin8, opts)
     s8 = shard_state(initial_state(bp, jnp.float64), mesh)
-    out8 = jax.block_until_ready(fn8(s8.cams, s8.lm_ps))
+    out8 = jax.block_until_ready(fn8(lin8.consts, s8.cams, s8.lm_ps))
 
     np.testing.assert_allclose(
         np.asarray(out8[2].cost_all_error),
