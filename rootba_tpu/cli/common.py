@@ -90,6 +90,10 @@ def parse_bal_app_arguments(
                         help="path to config file")
     parser.add_argument("--dump-config", action="store_true",
                         help="print effective config and exit")
+    parser.add_argument("--platform", default="",
+                        help="force a jax platform (e.g. 'cpu', 'tpu'); "
+                             "set via jax.config so it wins over "
+                             "environment-registered plugins")
 
     options = BalAppOptions()
     # like the reference, dataset and solver leaves are top-level flags
@@ -97,6 +101,12 @@ def parse_bal_app_arguments(
     add_options_to_parser(parser, options.solver)
 
     args = parser.parse_args(argv)
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.directory:
         os.chdir(args.directory)

@@ -211,6 +211,16 @@ class SolverOptions:
                         "loop to host-driven stages")
     num_devices: int = opt(
         0, help="number of devices to shard landmark blocks over (0 = all)")
+    checkpoint_path: str = opt(
+        "", help="mid-solve checkpoint file (npz); if it exists, the "
+                 "host-loop LM driver resumes from it (same solver "
+                 "config required). Empty disables checkpointing. The "
+                 "fused device loop does not checkpoint (it is for "
+                 "small/fast problems); use lm_loop=host for "
+                 "checkpointed runs")
+    checkpoint_interval: int = opt(
+        0, help="write the checkpoint every this many LM iterations "
+                "(0 = only resume, never write)")
     bucket_pow2_from: int = opt(
         9, help="bucket obs-counts exactly up to this, then pad to pow2 "
                "(mirrors the reference's static-size landmark blocks 2..8, "

@@ -383,12 +383,50 @@ def optimize_lm(
         state = shard_state(state, mesh)
     linearizer.set_state(state)
 
+    # ---- checkpoint/resume (TPU-native addition; the reference has no
+    # mid-solve checkpointing -- SURVEY §5) ----------------------------
+    resume_it = None
+    ckpt_path = options.checkpoint_path
+    ckpt_interval = options.checkpoint_interval
+    if ckpt_path:
+        from rootba_tpu.utils.checkpoint import (
+            iteration_from_dict,
+            load_checkpoint,
+        )
+
+        loaded = load_checkpoint(ckpt_path)
+        if loaded is not None:
+            cq, ct, ci, lm_ps_np, lam, lambda_vee, resume_it, its = loaded
+            state = BAState(
+                cams=CamState(q=jnp.asarray(cq, dtype),
+                              t=jnp.asarray(ct, dtype),
+                              intr=jnp.asarray(ci, dtype)),
+                lm_ps=tuple(jnp.asarray(p, dtype) for p in lm_ps_np))
+            if mesh is not None:
+                state = shard_state(state, mesh)
+            linearizer.set_state(state)
+            summary.iterations = [iteration_from_dict(d) for d in its]
+            if verbose:
+                print(f"Resumed from checkpoint '{ckpt_path}' at "
+                      f"iteration {resume_it} (lambda {lam:.2e})")
+
+    def maybe_checkpoint():
+        if ckpt_path and ckpt_interval > 0 and it % ckpt_interval == 0:
+            from rootba_tpu.utils.checkpoint import (
+                iteration_to_dict,
+                save_checkpoint,
+            )
+
+            save_checkpoint(
+                ckpt_path, linearizer.state, lam, lambda_vee, it,
+                [iteration_to_dict(s) for s in summary.iterations])
+
     summary.preprocessor_time_in_seconds = time.monotonic() - timer_total
     timer_minimizer = time.monotonic()
 
     validity_check = options.use_projection_validity_check()
     terminated = False
-    it = 0
+    it = resume_it if resume_it is not None else 0
     while it <= max_lm_iter and not terminated:
         it_summary = IterationSummary(iteration=it)
         linearizer.start_iteration(it_summary)
@@ -414,6 +452,7 @@ def optimize_lm(
             it_summary.step_is_valid = True
             finish_iteration(summary, it_summary)
             it += 1
+            maybe_checkpoint()
             continue
 
         linearizer.linearize()
@@ -448,6 +487,7 @@ def optimize_lm(
                     time.monotonic() - timer_total)
                 finish_iteration(summary, it_summary)
                 it += 1
+                maybe_checkpoint()
                 if lam > max_lambda:
                     terminated = True
                     summary.termination_type = NO_CONVERGENCE
@@ -510,6 +550,7 @@ def optimize_lm(
                 it_summary.cumulative_time_in_seconds = cum
                 finish_iteration(summary, it_summary)
                 it += 1
+                maybe_checkpoint()
 
                 reached, msg = _function_tolerance_reached(
                     summary.iterations[-1], options)
@@ -538,6 +579,7 @@ def optimize_lm(
 
                 linearizer.set_state(backup_state)
                 it += 1
+                maybe_checkpoint()
                 if lam > max_lambda:
                     terminated = True
                     summary.termination_type = NO_CONVERGENCE
