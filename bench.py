@@ -39,7 +39,7 @@ def make_problem(seed: int):
 
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "")
-    from rootba_tpu.utils.jax_setup import enable_compilation_cache
+    from rootba_tpu.utils.jax_setup import sync, enable_compilation_cache
 
     enable_compilation_cache()
     from rootba_tpu.config.options import SolverOptions
@@ -66,7 +66,7 @@ def main():
     state = initial_state(bp, "float32")
 
     # compile + warm up on the real shapes
-    out = jax.block_until_ready(
+    out = sync(
         solve_fn(linearizer.consts, state.cams, state.lm_ps))
 
     # timed: median of 3 full 20-iteration LM solves (device execution
@@ -75,7 +75,7 @@ def main():
     times = []
     for _ in range(3):
         t0 = time.monotonic()
-        out = jax.block_until_ready(
+        out = sync(
             solve_fn(linearizer.consts, state.cams, state.lm_ps))
         times.append(time.monotonic() - t0)
     elapsed = sorted(times)[1]

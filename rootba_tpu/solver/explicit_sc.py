@@ -22,6 +22,7 @@ import time
 from typing import NamedTuple, Tuple
 
 import jax
+from rootba_tpu.utils.jax_setup import sync
 import jax.numpy as jnp
 import numpy as np
 
@@ -374,7 +375,7 @@ class SCLinearizer(LinearizerBase):
     # linearize/solve/apply share the Sqrt implementations' shape
     def linearize(self):
         t0 = time.monotonic()
-        lins, pose_scale, failures = jax.block_until_ready(
+        lins, pose_scale, failures = sync(
             self._stage1_fn(self.consts, self.state.cams, self.state.lm_ps))
         if int(failures) > 0:
             raise FloatingPointError("numerical failure during linearization")
@@ -390,7 +391,7 @@ class SCLinearizer(LinearizerBase):
     def solve(self, lam: float):
         t0 = time.monotonic()
         lam_arr = jnp.asarray(lam, self.dtype)
-        inc, stage2, cg_iters, cg_term = jax.block_until_ready(
+        inc, stage2, cg_iters, cg_term = sync(
             self._solve_fn(self.consts, self._lins, lam_arr))
         self._stage2 = stage2
         if self.it_summary is not None:
@@ -405,7 +406,7 @@ class SCLinearizer(LinearizerBase):
 
     def apply(self, inc):
         t0 = time.monotonic()
-        cams, lm_ps, l_diff = jax.block_until_ready(self._apply_fn(
+        cams, lm_ps, l_diff = sync(self._apply_fn(
             self.consts, self.state.cams, self.state.lm_ps, self._lins,
             self._stage2, self._pose_scale, inc))
         if self.it_summary is not None:

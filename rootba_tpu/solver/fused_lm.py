@@ -27,6 +27,7 @@ import time
 from typing import NamedTuple, Optional, Tuple
 
 import jax
+from rootba_tpu.utils.jax_setup import sync
 import jax.numpy as jnp
 import numpy as np
 
@@ -278,7 +279,7 @@ def optimize_lm_fused(
 
     summary.preprocessor_time_in_seconds = time.monotonic() - t_total
     t_min = time.monotonic()
-    out = jax.block_until_ready(
+    out = sync(
         solve_fn(linearizer.consts, state.cams, state.lm_ps))
     minimizer_time = time.monotonic() - t_min
     (cams, lm_ps, logs, term, it_count, n_jac, n_res, n_sol) = out

@@ -21,6 +21,7 @@ import time
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
+from rootba_tpu.utils.jax_setup import sync
 import jax.numpy as jnp
 import numpy as np
 
@@ -135,7 +136,7 @@ class LinearizerBase:
     def compute_error(self) -> ResidualInfoHost:
         t0 = time.monotonic()
         info = self._error_fn(self.consts, self.state.cams, self.state.lm_ps)
-        info = jax.block_until_ready(info)
+        info = sync(info)
         if self.it_summary is not None:
             self.it_summary.residual_evaluation_time_in_seconds += (
                 time.monotonic() - t0)
@@ -245,7 +246,7 @@ class SqrtLinearizer(LinearizerBase):
 
     def linearize(self):
         t0 = time.monotonic()
-        lins, pose_scale, failures = jax.block_until_ready(
+        lins, pose_scale, failures = sync(
             self._stage1_fn(self.consts, self.state.cams, self.state.lm_ps))
         if int(failures) > 0:
             raise FloatingPointError(
@@ -263,7 +264,7 @@ class SqrtLinearizer(LinearizerBase):
     def solve(self, lam: float) -> jnp.ndarray:
         t0 = time.monotonic()
         lam_arr = jnp.asarray(lam, self.dtype)
-        inc, stage2, cg_iters, cg_term = jax.block_until_ready(
+        inc, stage2, cg_iters, cg_term = sync(
             self._solve_fn(self.consts, self._lins, lam_arr))
         self._stage2 = stage2
         if self.it_summary is not None:
@@ -280,7 +281,7 @@ class SqrtLinearizer(LinearizerBase):
 
     def apply(self, inc: jnp.ndarray) -> Tuple[BAState, float]:
         t0 = time.monotonic()
-        cams, lm_ps, l_diff = jax.block_until_ready(self._apply_fn(
+        cams, lm_ps, l_diff = sync(self._apply_fn(
             self.consts, self.state.cams, self.state.lm_ps, self._lins,
             self._stage2, self._pose_scale, inc))
         if self.it_summary is not None:

@@ -14,6 +14,7 @@ import time
 from typing import NamedTuple, Tuple
 
 import jax
+from rootba_tpu.utils.jax_setup import sync
 import jax.numpy as jnp
 
 from rootba_tpu.config.options import PreconditionerType, SolverOptions
@@ -367,7 +368,7 @@ class PlanarSqrtLinearizer(LinearizerBase):
 
     # host-loop interface reuses SqrtLinearizer's pattern
     def linearize(self):
-        lins, pose_scale, failures = jax.block_until_ready(
+        lins, pose_scale, failures = sync(
             self._stage1_fn(self.consts, self.state.cams, self.state.lm_ps))
         if int(failures) > 0:
             raise FloatingPointError("numerical failure during linearization")
@@ -375,7 +376,7 @@ class PlanarSqrtLinearizer(LinearizerBase):
         self._pose_scale = pose_scale
 
     def solve(self, lam):
-        inc, s2, iters, term = jax.block_until_ready(
+        inc, s2, iters, term = sync(
             self._solve_fn(self.consts, self._lins,
                            jnp.asarray(lam, self.dtype)))
         self._stage2 = s2
@@ -385,7 +386,7 @@ class PlanarSqrtLinearizer(LinearizerBase):
         return inc
 
     def apply(self, inc):
-        cams, lm_ps, l_diff = jax.block_until_ready(self._apply_fn(
+        cams, lm_ps, l_diff = sync(self._apply_fn(
             self.consts, self.state.cams, self.state.lm_ps, self._lins,
             self._stage2, self._pose_scale, inc))
         return BAState(cams=cams, lm_ps=lm_ps), float(l_diff)
