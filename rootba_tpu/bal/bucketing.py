@@ -35,6 +35,29 @@ class Bucket(NamedTuple):
     lm_id: np.ndarray  # [L] int32, original landmark index (-1 padded)
 
 
+class CamCsr(NamedTuple):
+    """Camera-major view of the flat obs axis (concatenation of every
+    bucket's [L*n] slots, in bucket order).
+
+    TPU scatter-adds (segment_sum) cost ~10-20x their memory-bound
+    traffic, so per-camera accumulations (the reference's mutex
+    scatters, linearization_qr.hpp:406-429) are instead expressed as a
+    static gather + clean reduction: each camera's observation slots are
+    listed in fixed-width "virtual rows" of `width` slots (a camera with
+    many obs gets several rows; rows are sorted by camera; padding
+    points at the dump slot = total_slots). A per-camera reduction is
+    then sum(gather(contrib)[R, width], axis=1) -- no scatter anywhere.
+    The second level maps each camera to its virtual rows with the same
+    fixed-width trick (pad entries point at the dump row R), so
+    per-camera sums stay camera-local -- no cumsum-over-cameras
+    cancellation.
+    """
+
+    idx: np.ndarray  # [R, width] int32 flat-slot positions (pad=dump)
+    idx2: np.ndarray  # [N, vmax] int32 virtual-row ids (pad=R)
+    total_slots: int  # dump index == sum of L*n over buckets
+
+
 class BucketedProblem(NamedTuple):
     num_cameras: int
     num_landmarks: int  # real landmarks across all buckets
@@ -44,6 +67,7 @@ class BucketedProblem(NamedTuple):
     cam_q0: np.ndarray  # [N,4] f64
     cam_t0: np.ndarray
     cam_intr0: np.ndarray
+    cam_csr: CamCsr
 
 
 def _bucket_size_for(count: int, pow2_from: int) -> int:
@@ -126,7 +150,51 @@ def bucketize(
         cam_q0=problem.cam_q.copy(),
         cam_t0=problem.cam_t.copy(),
         cam_intr0=problem.cam_intr.copy(),
+        cam_csr=build_cam_csr(buckets, problem.num_cameras),
     )
+
+
+def build_cam_csr(buckets, num_cameras: int, width: int = 64) -> CamCsr:
+    """Build the camera-major virtual-row index of all real obs slots."""
+    cam_flat = []
+    mask_flat = []
+    for b in buckets:
+        cam_flat.append(b.cam_idx.reshape(-1))
+        mask_flat.append(b.mask.reshape(-1))
+    cam_flat = np.concatenate(cam_flat)
+    mask_flat = np.concatenate(mask_flat)
+    total_slots = cam_flat.size
+
+    pos = np.nonzero(mask_flat)[0].astype(np.int64)
+    cams = cam_flat[pos]
+    order = np.argsort(cams, kind="stable")
+    pos = pos[order]
+    counts = np.bincount(cams, minlength=num_cameras).astype(np.int64)
+
+    rows_per_cam = -(-counts // width)  # ceil; 0 for unseen cameras
+    R = max(int(rows_per_cam.sum()), 1)
+    idx = np.full((R, width), total_slots, dtype=np.int64)
+    row_starts = np.zeros(num_cameras + 1, dtype=np.int64)
+    row_starts[1:] = np.cumsum(rows_per_cam)
+
+    # flat destination position of each sorted obs inside the padded
+    # [R, width] grid: camera c's obs k goes to row row_starts[c] + k
+    # // width, col k % width
+    within = (np.arange(pos.size, dtype=np.int64)
+              - np.repeat(np.cumsum(counts) - counts, counts))
+    row = np.repeat(row_starts[:-1], counts) + within // width
+    col = within % width
+    idx[row, col] = pos
+
+    vmax = max(int(rows_per_cam.max(initial=1)), 1)
+    idx2 = np.full((num_cameras, vmax), R, dtype=np.int64)
+    nrows = rows_per_cam
+    rr = np.repeat(np.arange(num_cameras, dtype=np.int64), nrows)
+    cc = (np.arange(rr.size, dtype=np.int64)
+          - np.repeat(np.cumsum(nrows) - nrows, nrows))
+    idx2[rr, cc] = np.arange(rr.size, dtype=np.int64)
+    return CamCsr(idx=idx.astype(np.int32), idx2=idx2.astype(np.int32),
+                  total_slots=int(total_slots))
 
 
 def scatter_landmarks(

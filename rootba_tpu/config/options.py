@@ -191,10 +191,14 @@ class SolverOptions:
 
     # --- TPU-native additions ------------------------------------------------
     kernel_layout: str = opt(
-        "einsum", help="'einsum' uses [L,n,2,9] batched tensors (default; "
-                       "XLA picks good layouts and fuses well); 'planar' "
-                       "uses [feature, landmark] SoA tensors (experimental; "
-                       "currently slower due to op-granularity overheads)")
+        "flat", help="'flat' (default) uses one [O,2,9]-style per-obs "
+                     "array per quantity concatenated across buckets "
+                     "(fewest relayout copies; fastest measured on TPU); "
+                     "'einsum' uses per-bucket [L,n,2,9] batched tensors "
+                     "(used automatically for multi-device meshes); "
+                     "'planar' uses [feature, landmark] SoA tensors "
+                     "(experimental; slower due to op-granularity "
+                     "overheads)")
     lm_loop: str = opt(
         "auto", help="'fused' runs the whole LM minimization as one "
                      "device program (fast; per-iteration timings are "
@@ -221,6 +225,11 @@ class SolverOptions:
     checkpoint_interval: int = opt(
         0, help="write the checkpoint every this many LM iterations "
                 "(0 = only resume, never write)")
+    dense_rcs_max_cameras: int = opt(
+        2048, help="SCHUR_COMPLEMENT solver: materialize the RCS as one "
+                   "dense [9N, 9N] matrix when num_cameras <= this (the "
+                   "PCG matvec becomes a single MXU GEMV instead of "
+                   "block-gather + scatter); 0 disables")
     bucket_pow2_from: int = opt(
         9, help="bucket obs-counts exactly up to this, then pad to pow2 "
                "(mirrors the reference's static-size landmark blocks 2..8, "

@@ -82,13 +82,16 @@ class PairStructure(NamedTuple):
     pair_col: jnp.ndarray  # [P] int32
     pair_ids: Tuple[jnp.ndarray, ...]  # per bucket [L,n,n] int32 (P = dummy)
     diag_pid: jnp.ndarray  # [N] int32 (P = camera unobserved)
+    dense_idx: jnp.ndarray  # [N*N] int32 block->pair id (P = absent);
+    # empty [0] when the dense RCS mode is off
 
     @property
     def num_pairs(self) -> int:
         return self.pair_row.shape[0]
 
 
-def build_pair_structure(bp, num_cameras: int) -> PairStructure:
+def build_pair_structure(bp, num_cameras: int,
+                         dense: bool = False) -> PairStructure:
     N = num_cameras
     codes_list = []
     for b in bp.buckets:
@@ -110,11 +113,17 @@ def build_pair_structure(bp, num_cameras: int) -> PairStructure:
     pos_clipped = np.minimum(pos, max(P - 1, 0))
     exists = (P > 0) & (unique[pos_clipped] == diag_codes)
     diag_pid = np.where(exists, pos, P).astype(np.int32)
+    if dense:
+        dense_idx = np.full(N * N, P, dtype=np.int32)
+        dense_idx[unique] = np.arange(P, dtype=np.int32)
+    else:
+        dense_idx = np.zeros(0, dtype=np.int32)
     return PairStructure(
         pair_row=jnp.asarray((unique // N).astype(np.int32)),
         pair_col=jnp.asarray((unique % N).astype(np.int32)),
         pair_ids=pair_ids,
         diag_pid=jnp.asarray(diag_pid),
+        dense_idx=jnp.asarray(dense_idx),
     )
 
 
@@ -179,6 +188,28 @@ def sc_matvec(stage2: SCStage2, pairs: PairStructure, num_cameras, x):
     return jax.ops.segment_sum(y, pairs.pair_row, num_segments=num_cameras)
 
 
+def sc_densify(stage2: SCStage2, pairs: PairStructure,
+               num_cameras: int) -> jnp.ndarray:
+    """Expand the unique pair blocks into the dense RCS [9N, 9N].
+
+    The reference keeps the RCS as a hash-map of 9x9 blocks because CPU
+    memory is the constraint (block_sparse_matrix.hpp:150-310); on TPU
+    the constraint is scatter/gather cost per CG iteration, so for
+    moderate camera counts one dense materialization per stage2 (a
+    static gather) buys ~100 pure-MXU GEMV matvecs."""
+    N = num_cameras
+    P = stage2.H.shape[0]
+    Hp = jnp.concatenate(
+        [stage2.H.reshape(P, P9 * P9),
+         jnp.zeros((1, P9 * P9), stage2.H.dtype)], axis=0)
+    Hd = Hp[pairs.dense_idx].reshape(N, N, P9, P9)
+    return Hd.transpose(0, 2, 1, 3).reshape(N * P9, N * P9)
+
+
+def sc_matvec_dense(H_dense: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    return (H_dense @ x.reshape(-1)).reshape(x.shape)
+
+
 def sc_diag_blocks(stage2: SCStage2, pairs: PairStructure, num_cameras):
     """Per-camera diagonal 9x9 blocks of the assembled RCS."""
     dtype = stage2.H.dtype
@@ -205,9 +236,12 @@ def jp_gram_blockdiag(lins, buckets, lam, num_cameras):
     return blocks + lam.astype(dtype) * jnp.eye(P9, dtype=dtype)
 
 
-def e0_matvec(lins, buckets, Hll_invs, num_cameras, x):
+def e0_matvec(lins, buckets, Hll_invs, num_cameras, x, csr=None):
     """E0 x = Jp' Jl Hll^-1 Jl' Jp x (sc/linearization_power_sc.hpp:250-272)."""
+    from rootba_tpu.solver.linearization import csr_cam_reduce
+
     y = jnp.zeros_like(x)
+    yb_rows = []
     for lin, bucket, Hll_inv in zip(lins, buckets, Hll_invs):
         xg = x[bucket.cam_idx]
         w = jnp.einsum("lnrj,lnj->lnr", lin.Jp, xg)  # Jp x
@@ -215,9 +249,14 @@ def e0_matvec(lins, buckets, Hll_invs, num_cameras, x):
         t = jnp.einsum("lcd,ld->lc", Hll_inv, t)
         w = jnp.einsum("lnrc,lc->lnr", lin.Jl, t)  # Jl Hll^-1 ...
         yb = jnp.einsum("lnrj,lnr->lnj", lin.Jp, w)
-        y = y + jax.ops.segment_sum(
-            yb.reshape(-1, P9), bucket.cam_idx.reshape(-1),
-            num_segments=num_cameras)
+        if csr is not None:
+            yb_rows.append(yb.reshape(-1, P9))
+        else:
+            y = y + jax.ops.segment_sum(
+                yb.reshape(-1, P9), bucket.cam_idx.reshape(-1),
+                num_segments=num_cameras)
+    if csr is not None:
+        y = y + csr_cam_reduce(yb_rows, csr, num_cameras)
     return y
 
 
@@ -285,10 +324,13 @@ class SCLinearizer(LinearizerBase):
 
     def _build(self):
         opts = self.options
-        self.pairs = build_pair_structure(self.bp, self.num_cameras)
-        # buckets + RCS sparsity structure as runtime args (see
-        # LinearizerBase.consts: avoids giant embedded HLO constants)
-        self.consts = (self.buckets, self.pairs)
+        self.dense_rcs = (self.mesh is None and 0 < self.num_cameras
+                          <= opts.dense_rcs_max_cameras)
+        self.pairs = build_pair_structure(self.bp, self.num_cameras,
+                                          dense=self.dense_rcs)
+        # buckets + RCS sparsity structure + camera-CSR as runtime args
+        # (see LinearizerBase.consts: avoids giant embedded HLO constants)
+        self.consts = (self.buckets, self.pairs, self.cam_csr)
         precond_type = opts.preconditioner_type
         if precond_type not in (PreconditionerType.SCHUR_JACOBI,
                                 PreconditionerType.POWER_SCHUR_COMPLEMENT):
@@ -299,20 +341,26 @@ class SCLinearizer(LinearizerBase):
         from rootba_tpu.solver.linearization import compute_error_buckets
 
         def error_fn(consts, cams, lm_ps):
-            buckets, _ = consts
             return compute_error_buckets(
-                cams, lm_ps, buckets, self.robust_norm, self.huber)
+                cams, lm_ps, consts[0], self.robust_norm, self.huber)
 
         def stage1_fn(consts, cams, lm_ps):
-            return self._stage1_common(consts[0], cams, lm_ps)
+            return self._stage1_common(consts[0], cams, lm_ps,
+                                       csr=consts[2])
 
         def solve_fn(consts, lins, lam):
-            buckets, pairs = consts
+            buckets, pairs, csr = consts
             stage2 = sc_assemble(lins, buckets, pairs, lam,
                                  self.num_cameras)
 
-            def matvec(x):
-                return sc_matvec(stage2, pairs, self.num_cameras, x)
+            if self.dense_rcs:
+                H_dense = sc_densify(stage2, pairs, self.num_cameras)
+
+                def matvec(x):
+                    return sc_matvec_dense(H_dense, x)
+            else:
+                def matvec(x):
+                    return sc_matvec(stage2, pairs, self.num_cameras, x)
 
             if precond_type == PreconditionerType.SCHUR_JACOBI:
                 chol = jnp.linalg.cholesky(
@@ -332,7 +380,7 @@ class SCLinearizer(LinearizerBase):
 
                 def apply_e0(v):
                     return e0_matvec(lins, buckets, stage2.Hll_inv,
-                                     self.num_cameras, v)
+                                     self.num_cameras, v, csr=csr)
 
                 def precond(r):
                     # power_series_solve(v) = sum_i (Hpp^-1 E0)^i Hpp^-1 (-v);
@@ -424,9 +472,9 @@ class PowerSCLinearizer(SCLinearizer):
 
     def _build(self):
         opts = self.options
-        # buckets only (no explicit RCS); wrapped in a 2-tuple so the
-        # host methods inherited from SCLinearizer stay uniform
-        self.consts = (self.buckets, ())
+        # buckets + camera-CSR (no explicit RCS); a tuple so the host
+        # methods inherited from SCLinearizer stay uniform
+        self.consts = (self.buckets, self.cam_csr)
 
         from rootba_tpu.solver.linearization import compute_error_buckets
 
@@ -435,10 +483,11 @@ class PowerSCLinearizer(SCLinearizer):
                 cams, lm_ps, consts[0], self.robust_norm, self.huber)
 
         def stage1_fn(consts, cams, lm_ps):
-            return self._stage1_common(consts[0], cams, lm_ps)
+            return self._stage1_common(consts[0], cams, lm_ps,
+                                       csr=consts[1])
 
         def solve_fn(consts, lins, lam):
-            buckets = consts[0]
+            buckets, csr = consts
             dtype = lins[0].Jp.dtype
             # per-bucket damped Hll^-1 + RHS b (landmark_block stage())
             Hll_invs = []
@@ -469,7 +518,7 @@ class PowerSCLinearizer(SCLinearizer):
 
             def apply_e0(v):
                 return e0_matvec(lins, buckets, Hll_invs,
-                                 self.num_cameras, v)
+                                 self.num_cameras, v, csr=csr)
 
             inc, iters = power_series_solve(
                 apply_hpp_inv, apply_e0, b, opts.power_order,

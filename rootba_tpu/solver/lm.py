@@ -105,6 +105,17 @@ class LinearizerBase:
         self.num_cameras = bp.num_cameras
         self.mesh = mesh
         self.buckets = make_bucket_indices(bp, self.dtype)
+        # camera-CSR gather-reduce index (replaces segment_sum scatters;
+        # see bucketing.CamCsr). Only on an unsharded single device: the
+        # CSR gather crosses landmark shards, so mesh mode keeps
+        # segment_sum, which GSPMD turns into local scatters + psum.
+        self.cam_csr = None
+        if mesh is None and options.reduction_alg != 0:
+            from rootba_tpu.solver.linearization import CamCsrIndex
+
+            self.cam_csr = CamCsrIndex(
+                idx=jnp.asarray(bp.cam_csr.idx),
+                idx2=jnp.asarray(bp.cam_csr.idx2))
         if mesh is not None:
             from rootba_tpu.parallel.mesh import shard_bucket_index
 
@@ -144,10 +155,13 @@ class LinearizerBase:
             self.summary.num_residual_evaluations += 1
         return ResidualInfoHost.from_device(info)
 
-    def _stage1_common(self, buckets, cams, lm_ps):
+    def _stage1_common(self, buckets, cams, lm_ps, csr=None):
         """Linearize all buckets, jl scaling, pose jacobi scaling."""
+        from rootba_tpu.solver.linearization import csr_cam_reduce
+
         lins = []
         diag2 = jnp.zeros((self.num_cameras, POSE_SIZE), self.dtype)
+        diag2_rows = []
         failures = jnp.zeros((), jnp.int32)
         for lm_p, bucket in zip(lm_ps, buckets):
             lin, nfail = linearize_bucket(
@@ -155,9 +169,16 @@ class LinearizerBase:
                 self.options.use_projection_validity_check(),
                 self.jacobi_eps)
             lin = scale_jl_cols(lin, self.jacobi_eps)
-            diag2 = diag2 + jp_diag2(lin, bucket.cam_idx, self.num_cameras)
+            if csr is not None:
+                diag2_rows.append(
+                    jnp.sum(lin.Jp * lin.Jp, axis=-2).reshape(-1, POSE_SIZE))
+            else:
+                diag2 = diag2 + jp_diag2(lin, bucket.cam_idx,
+                                         self.num_cameras)
             failures = failures + nfail
             lins.append(lin)
+        if csr is not None:
+            diag2 = csr_cam_reduce(diag2_rows, csr, self.num_cameras)
         if self.options.jacobi_scaling:
             pose_scale = 1.0 / (self.jacobi_eps + jnp.sqrt(diag2))
         else:
@@ -196,21 +217,30 @@ class SqrtLinearizer(LinearizerBase):
                 f"preconditioner {opts.preconditioner_type} not implemented "
                 f"for the SQUARE_ROOT solver")
 
-        def error_fn(buckets, cams, lm_ps):
+        # consts = (buckets, cam_csr-or-None); passed as jit args, see
+        # LinearizerBase.consts comment
+        self.consts = (self.buckets, self.cam_csr)
+
+        def error_fn(consts, cams, lm_ps):
             return compute_error_buckets(
-                cams, lm_ps, buckets, self.robust_norm, self.huber)
+                cams, lm_ps, consts[0], self.robust_norm, self.huber)
 
-        def stage1_fn(buckets, cams, lm_ps):
-            return self._stage1_common(buckets, cams, lm_ps)
+        def stage1_fn(consts, cams, lm_ps):
+            return self._stage1_common(consts[0], cams, lm_ps,
+                                       csr=consts[1])
 
-        def solve_fn(buckets, lins, lam):
+        def solve_fn(consts, lins, lam):
+            buckets, csr = consts
+            # stage2 keeps segment_sum accumulation: its 81-wide
+            # contribution rows make the CSR gather slower than the
+            # scatter, and it runs once per solve (vs ~100 matvecs)
             stage2 = sqrt_qr.sqrt_stage2(
                 lins, buckets, lam, self.num_cameras,
-                precond_jacobi=precond_jacobi)
+                precond_jacobi=precond_jacobi, csr=None)
 
             def matvec(x):
                 return sqrt_qr.sqrt_matvec(
-                    lins, buckets, stage2, self.num_cameras, x)
+                    lins, buckets, stage2, self.num_cameras, x, csr=csr)
 
             def precond(r):
                 return sqrt_qr.precond_apply(stage2.precond_chol, r)
@@ -226,9 +256,9 @@ class SqrtLinearizer(LinearizerBase):
             return (-res.x, stage2, res.num_iterations,
                     res.termination_type)
 
-        def apply_fn(buckets, cams, lm_ps, lins, stage2, pose_scale, inc):
+        def apply_fn(consts, cams, lm_ps, lins, stage2, pose_scale, inc):
             new_lm_ps, l_diff = sqrt_qr.sqrt_back_substitute(
-                lins, buckets, stage2, lm_ps, inc)
+                lins, consts[0], stage2, lm_ps, inc)
             inc_scaled = inc * pose_scale
             q, t = lie.apply_inc_pose(cams.q, cams.t, inc_scaled[:, :6])
             intr = cams.intr + inc_scaled[:, 6:9]
@@ -299,6 +329,10 @@ def create_linearizer(bp: BucketedProblem, options: SolverOptions, dtype,
             from rootba_tpu.solver.sqrt_planar import PlanarSqrtLinearizer
 
             return PlanarSqrtLinearizer(bp, options, dtype, mesh)
+        if options.kernel_layout == "flat" and mesh is None:
+            from rootba_tpu.solver.sqrt_flat import FlatSqrtLinearizer
+
+            return FlatSqrtLinearizer(bp, options, dtype, mesh)
         return SqrtLinearizer(bp, options, dtype, mesh)
     if options.solver_type == SolverType.SCHUR_COMPLEMENT:
         return SCLinearizer(bp, options, dtype, mesh)

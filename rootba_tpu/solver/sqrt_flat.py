@@ -1,0 +1,402 @@
+"""Flat-layout SQUARE_ROOT solver: the TPU hot path.
+
+Same projection-form sqrt marginalization as solver.sqrt_qr (see that
+module's docstring for the math and reference citations), but every
+per-observation tensor lives in ONE flat [O, ...] array concatenated
+across obs-count buckets:
+
+    Jp [O,2,9]   Jl [O,2,3]   r [O,2]   Q1h [O,2,3]
+
+Why: the per-bucket formulation pays three materialized copies of the
+matvec's 9-wide contribution rows per CG iteration (einsum output ->
+reshape -> concat for the camera reduction), ~1.1 ms of pure data
+movement per matvec at trafalgar-257 scale (measured via the TPU
+profiler; benchmarks/micro_matvec3.py). Flat arrays make the einsum
+output itself the gather source. Per-landmark structure (the Q1h
+projection, QR, back-substitution) is recovered through reshape/
+broadcast of narrow [*,2]/[*,3] intermediates over static bucket
+offsets -- these fuse into their consumers and never materialize
+padded [L,n,2,9]-style buffers.
+
+Camera reductions use the static camera-CSR gather-reduce
+(bucketing.CamCsr), camera-parameter reads one packed-table row gather
+(linearization.packed_cam_table): TPU scatters and per-element gathers
+cost 10-20x their traffic; wide-row static gathers are the fast path.
+
+Reference mapping unchanged: stage1 = linearize+scale (linearizor_qr.cpp
+:78-138), stage2 = damp+RHS+precond (:141-265), matvec = right_multiply
+(linearization_qr.hpp:823-825), apply = back_substitute (:267-291).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rootba_tpu.config.options import PreconditionerType, SolverOptions
+from rootba_tpu.core import lie
+from rootba_tpu.ops.batched_qr import householder_qr3, solve_upper
+from rootba_tpu.solver.cg import pcg
+from rootba_tpu.solver.linearization import (
+    POSE_SIZE,
+    CamState,
+    csr_cam_reduce,
+    gather_cam_planes,
+    packed_cam_table,
+)
+from rootba_tpu.solver.sqrt_qr import precond_apply
+from rootba_tpu.utils.jax_setup import sync
+
+P9 = POSE_SIZE
+
+
+class FlatLin(NamedTuple):
+    """Stage-1 output, flat across buckets."""
+
+    Jp: jnp.ndarray  # [O,2,9] sqrt-weighted, masked, scaled
+    Jl: jnp.ndarray  # [O,2,3]
+    r: jnp.ndarray  # [O,2]
+    Jl_scale: Tuple[jnp.ndarray, ...]  # per bucket [L,3]
+
+
+class FlatStage2(NamedTuple):
+    """Per-lambda marginalization data."""
+
+    Q1h: jnp.ndarray  # [O,2,3]
+    R: Tuple[jnp.ndarray, ...]  # per bucket [L,3,3]
+    b: jnp.ndarray  # [N,9]
+    precond_chol: jnp.ndarray  # [N,9,9]
+    lam: jnp.ndarray
+
+
+def _bucket_offsets(buckets):
+    offs = [0]
+    for b in buckets:
+        L, n = b.cam_idx.shape
+        offs.append(offs[-1] + L * n)
+    return offs
+
+
+def _per_landmark_sum(p, buckets, offs):
+    """[O,F] obs rows -> per-bucket [L,F] sums over each landmark's
+    slots (reshape-fused reduce; obs o = l*n + i within a bucket)."""
+    outs = []
+    for bucket, a, b in zip(buckets, offs[:-1], offs[1:]):
+        L, n = bucket.cam_idx.shape
+        outs.append(jnp.sum(p[a:b].reshape(L, n, -1), axis=1))
+    return outs
+
+
+def _per_landmark_broadcast(ts, buckets):
+    """Inverse of _per_landmark_sum: per-bucket [L,F] -> flat [O,F]."""
+    outs = []
+    for bucket, t in zip(buckets, ts):
+        L, n = bucket.cam_idx.shape
+        outs.append(jnp.broadcast_to(
+            t[:, None, :], (L, n, t.shape[-1])).reshape(L * n, -1))
+    return jnp.concatenate(outs, axis=0)
+
+
+def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
+                   huber_parameter, use_valid_only, jacobi_eps,
+                   jacobi_scaling, csr, num_cameras):
+    """Stage 1: linearize + scale_Jl_cols + jacobi pose scaling, all
+    buckets in one pass (reference get_stage1 fusion,
+    linearization_qr.hpp:634-712)."""
+    from rootba_tpu.ops.planar import robust_sqrt_weight, snavely_planes
+
+    offs = _bucket_offsets(buckets)
+    table = packed_cam_table(cams)
+    planes18 = [[] for _ in range(18)]
+    planes6 = [[] for _ in range(6)]
+    rr = []
+    failures = jnp.zeros((), jnp.int32)
+    for lm_p, bucket in zip(lm_ps, buckets):
+        L, n = bucket.cam_idx.shape
+        idx = bucket.cam_idx.reshape(-1)
+        X = jnp.broadcast_to(lm_p[:, 0:1], (L, n)).reshape(-1)
+        Y = jnp.broadcast_to(lm_p[:, 1:2], (L, n)).reshape(-1)
+        Z = jnp.broadcast_to(lm_p[:, 2:3], (L, n)).reshape(-1)
+        res_u, res_v, valid, Jp_pl, Jl_pl = snavely_planes(
+            *gather_cam_planes(table, idx), X, Y, Z,
+            bucket.obs_uv[..., 0].reshape(-1),
+            bucket.obs_uv[..., 1].reshape(-1))
+        sw, use_mask = robust_sqrt_weight(
+            res_u, res_v, valid, bucket.mask.reshape(-1), robust_norm,
+            huber_parameter, use_valid_only)
+        finite = jnp.isfinite(res_u) & jnp.isfinite(res_v)
+        for v in Jp_pl + Jl_pl:
+            finite = finite & jnp.isfinite(v)
+        failures = failures + jnp.sum(jnp.where(use_mask & ~finite, 1, 0))
+        for k in range(18):
+            planes18[k].append(sw * Jp_pl[k])
+        for k in range(6):
+            planes6[k].append(sw * Jl_pl[k])
+        rr.append(jnp.stack([sw * res_u, sw * res_v], axis=-1))
+
+    O = offs[-1]
+    Jp = jnp.stack([jnp.concatenate(p) for p in planes18],
+                   axis=-1).reshape(O, 2, P9)
+    Jl = jnp.stack([jnp.concatenate(p) for p in planes6],
+                   axis=-1).reshape(O, 2, 3)
+    r = jnp.concatenate(rr, axis=0)  # [O,2]
+
+    # landmark-Jacobian column scaling (landmark_block_base.ipp:572-587)
+    col2 = jnp.sum(Jl * Jl, axis=1)  # [O,3]
+    norms = [jnp.sqrt(s) for s in _per_landmark_sum(col2, buckets, offs)]
+    scales = tuple(1.0 / (jacobi_eps + nrm) for nrm in norms)
+    Jl = Jl * _per_landmark_broadcast(scales, buckets)[:, None, :]
+
+    # pose jacobi scaling (add_Jp_diag2 -> linearizor_qr.cpp:104-110)
+    d2 = jnp.sum(Jp * Jp, axis=1)  # [O,9]
+    if csr is not None:
+        diag2 = csr_cam_reduce([d2], csr, num_cameras)
+    else:
+        diag2 = jax.ops.segment_sum(d2, cam_flat,
+                                    num_segments=num_cameras)
+    if jacobi_scaling:
+        pose_scale = 1.0 / (jacobi_eps + jnp.sqrt(diag2))
+    else:
+        pose_scale = jnp.ones_like(diag2)
+    Jp = Jp * pose_scale[cam_flat][:, None, :]
+
+    return FlatLin(Jp=Jp, Jl=Jl, r=r, Jl_scale=scales), pose_scale, failures
+
+
+def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
+                *, precond_jacobi: bool = False,
+                csr=None) -> FlatStage2:
+    """Stage 2 (reference get_stage2, linearization_qr.hpp:716-815):
+    landmark damping via augmented thin-QR, RHS, preconditioner."""
+    dtype = lin.Jp.dtype
+    offs = _bucket_offsets(buckets)
+
+    Q1h_parts = []
+    Rs = []
+    for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
+        L, n = bucket.cam_idx.shape
+        Jl2 = lin.Jl[a:b_].reshape(L, 2 * n, 3)
+        damp = jnp.sqrt(lam).astype(dtype) * jnp.broadcast_to(
+            jnp.eye(3, dtype=dtype), (L, 3, 3))
+        aug = jnp.concatenate([Jl2, damp], axis=1)
+        R, Q1 = householder_qr3(aug)
+        Rs.append(R)
+        Q1h_parts.append(Q1[:, :2 * n, :].reshape(L * n, 2, 3))
+    Q1h = jnp.concatenate(Q1h_parts, axis=0)  # [O,2,3]
+
+    # RHS: Jp^T (r - Q1h Q1h^T r)
+    p = jnp.einsum("orc,or->oc", Q1h, lin.r)
+    t3 = _per_landmark_broadcast(
+        _per_landmark_sum(p, buckets, offs), buckets)
+    wp = lin.r - jnp.einsum("orc,oc->or", Q1h, t3)
+    yb = jnp.einsum("orj,or->oj", lin.Jp, wp)
+    if csr is not None:
+        b = csr_cam_reduce([yb], csr, num_cameras)
+    else:
+        b = jax.ops.segment_sum(yb, cam_flat, num_segments=num_cameras)
+
+    # preconditioner blocks: JACOBI = sum Jp_o' Jp_o; SCHUR_JACOBI
+    # subtracts W' W with W = Q1h_o' Jp_o (per obs; Jp's block structure
+    # makes cross-obs terms vanish on the diagonal blocks). Flattened to
+    # [O, 81] before the camera reduction (9x9 minor dims would be
+    # tile-padded ~25x if materialized).
+    O = offs[-1]
+
+    def gram81(M):  # [O, rows, 9] -> [O, 81]
+        A = jnp.repeat(M, P9, axis=2)
+        B = jnp.tile(M, (1, 1, P9))
+        return jnp.sum(A * B, axis=1)
+
+    blk = gram81(lin.Jp)
+    if not precond_jacobi:
+        A = jnp.repeat(Q1h, P9, axis=2)  # [O,2,27]
+        B = jnp.tile(lin.Jp, (1, 1, 3))  # [O,2,27]
+        W27 = jnp.sum(A * B, axis=1)  # [O,27]
+        blk = blk - gram81(W27.reshape(O, 3, P9))
+    blocks = jax.ops.segment_sum(
+        blk, cam_flat, num_segments=num_cameras
+    ).reshape(num_cameras, P9, P9)
+    blocks = blocks + lam.astype(dtype) * jnp.eye(P9, dtype=dtype)
+    chol = jnp.linalg.cholesky(blocks)
+
+    return FlatStage2(Q1h=Q1h, R=tuple(Rs), b=b, precond_chol=chol,
+                      lam=jnp.asarray(lam, dtype))
+
+
+def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,
+                num_cameras, x, csr=None):
+    """y = [(Q2'Jp)'(Q2'Jp) + lam I] x (right_multiply,
+    linearization_qr.hpp:823-825)."""
+    offs = _bucket_offsets(buckets)
+    xg = x[cam_flat]  # [O,9]
+    w = jnp.einsum("orj,oj->or", lin.Jp, xg)
+    p = jnp.einsum("orc,or->oc", stage2.Q1h, w)
+    t3 = _per_landmark_broadcast(
+        _per_landmark_sum(p, buckets, offs), buckets)
+    wp = w - jnp.einsum("orc,oc->or", stage2.Q1h, t3)
+    yb = jnp.einsum("orj,or->oj", lin.Jp, wp)
+    if csr is not None:
+        red = csr_cam_reduce([yb], csr, num_cameras)
+    else:
+        red = jax.ops.segment_sum(yb, cam_flat, num_segments=num_cameras)
+    return stage2.lam.astype(x.dtype) * x + red
+
+
+def flat_back_substitute(lin: FlatLin, stage2: FlatStage2, buckets,
+                         cam_flat, lm_ps, pose_inc):
+    """Landmark back-substitution + model cost decrease
+    (landmark_block_base.ipp:213-284)."""
+    offs = _bucket_offsets(buckets)
+    xg = pose_inc[cam_flat]
+    w = jnp.einsum("orj,oj->or", lin.Jp, xg)
+    u = lin.r + w
+    p = jnp.einsum("orc,or->oc", stage2.Q1h, u)
+    rhs3 = _per_landmark_sum(p, buckets, offs)
+
+    dls = []
+    new_lm_ps = []
+    for bucket, R, rhs, scale, lm_p in zip(
+            buckets, stage2.R, rhs3, lin.Jl_scale, lm_ps):
+        dl_s = -solve_upper(R, rhs)
+        dl_s = jnp.where(bucket.lm_mask[:, None], dl_s, 0.0)
+        dls.append(dl_s)
+        new_lm_ps.append(lm_p + (dl_s * scale).astype(lm_p.dtype))
+
+    dl_flat = _per_landmark_broadcast(dls, buckets)
+    v = w + jnp.einsum("orc,oc->or", lin.Jl, dl_flat)
+    l_diff = -jnp.sum(
+        (v * (0.5 * v + lin.r)).astype(
+            jnp.result_type(pose_inc.dtype, jnp.float32)))
+    return tuple(new_lm_ps), l_diff
+
+
+# ---------------------------------------------------------------------------
+
+from rootba_tpu.solver.lm import BAState, LinearizerBase  # noqa: E402
+
+
+class FlatSqrtLinearizer(LinearizerBase):
+    """SQUARE_ROOT solver on flat per-obs tensors (default layout)."""
+
+    linear_solver_type = "bal_qr"
+
+    def _build(self):
+        opts = self.options
+        precond_jacobi = (opts.preconditioner_type
+                          == PreconditionerType.JACOBI)
+        if opts.preconditioner_type not in (
+                PreconditionerType.JACOBI, PreconditionerType.SCHUR_JACOBI):
+            raise ValueError(
+                f"preconditioner {opts.preconditioner_type} not implemented "
+                f"for the SQUARE_ROOT solver")
+        cam_flat = jnp.concatenate(
+            [b.cam_idx.reshape(-1) for b in self.buckets])
+        self.consts = (self.buckets, self.cam_csr, cam_flat)
+        N = self.num_cameras
+        use_valid = opts.use_projection_validity_check()
+
+        def error_fn(consts, cams, lm_ps):
+            from rootba_tpu.solver.linearization import (
+                compute_error_buckets,
+            )
+
+            return compute_error_buckets(
+                cams, lm_ps, consts[0], self.robust_norm, self.huber)
+
+        def stage1_fn(consts, cams, lm_ps):
+            buckets, csr, cam_flat = consts
+            return flat_linearize(
+                cams, lm_ps, buckets, cam_flat, self.robust_norm,
+                self.huber, use_valid, self.jacobi_eps,
+                opts.jacobi_scaling, csr, N)
+
+        def solve_fn(consts, lins, lam):
+            buckets, csr, cam_flat = consts
+            # stage2 keeps segment_sum for its 81-wide preconditioner
+            # rows (CSR gathers are slower above ~16 floats per row);
+            # the RHS reduce stays with it for one fused sweep.
+            stage2 = flat_stage2(
+                lins, buckets, cam_flat, lam, N,
+                precond_jacobi=precond_jacobi, csr=None)
+
+            res = pcg(
+                lambda x: flat_matvec(lins, stage2, buckets, cam_flat,
+                                      N, x, csr=csr),
+                lambda r: precond_apply(stage2.precond_chol, r),
+                stage2.b,
+                min_num_iterations=opts.min_linear_solver_iterations,
+                max_num_iterations=opts.max_linear_solver_iterations,
+                q_tolerance=opts.eta,
+                r_tolerance=-1.0,
+            )
+            # we solve H(-x) = b -> negate (linearizor_base.cpp:99-101)
+            return (-res.x, stage2, res.num_iterations,
+                    res.termination_type)
+
+        def apply_fn(consts, cams, lm_ps, lins, stage2, pose_scale, inc):
+            buckets, csr, cam_flat = consts
+            new_lm_ps, l_diff = flat_back_substitute(
+                lins, stage2, buckets, cam_flat, lm_ps, inc)
+            inc_scaled = inc * pose_scale
+            q, t = lie.apply_inc_pose(cams.q, cams.t, inc_scaled[:, :6])
+            intr = cams.intr + inc_scaled[:, 6:9]
+            return CamState(q=q, t=t, intr=intr), new_lm_ps, l_diff
+
+        self.error_pure = error_fn
+        self.stage1_pure = stage1_fn
+        self.solve_pure = solve_fn
+        self.apply_pure = apply_fn
+        self._error_fn = jax.jit(error_fn)
+        self._stage1_fn = jax.jit(stage1_fn)
+        self._solve_fn = jax.jit(solve_fn)
+        self._apply_fn = jax.jit(apply_fn)
+
+    # host-loop driver interface (mirrors SqrtLinearizer)
+    def linearize(self):
+        t0 = time.monotonic()
+        lins, pose_scale, failures = sync(
+            self._stage1_fn(self.consts, self.state.cams,
+                            self.state.lm_ps))
+        if int(failures) > 0:
+            raise FloatingPointError(
+                f"numerical failure during linearization "
+                f"({int(failures)} observations)")
+        self._lins = lins
+        self._pose_scale = pose_scale
+        if self.it_summary is not None:
+            self.it_summary.stage1_time_in_seconds = time.monotonic() - t0
+            self.it_summary.jacobian_evaluation_time_in_seconds = (
+                self.it_summary.stage1_time_in_seconds)
+        if self.summary is not None:
+            self.summary.num_jacobian_evaluations += 1
+
+    def solve(self, lam):
+        t0 = time.monotonic()
+        lam_arr = jnp.asarray(lam, self.dtype)
+        inc, stage2, cg_iters, cg_term = sync(
+            self._solve_fn(self.consts, self._lins, lam_arr))
+        self._stage2 = stage2
+        if self.it_summary is not None:
+            dt = time.monotonic() - t0
+            self.it_summary.stage2_time_in_seconds = dt * 0.2
+            self.it_summary.solve_reduced_system_time_in_seconds = dt * 0.8
+            self.it_summary.linear_solver_iterations = int(cg_iters)
+            self.it_summary.linear_solver_message = (
+                f"cg_term={int(cg_term)} iters={int(cg_iters)}")
+            self.it_summary.linear_solver_type = self.linear_solver_type
+        if self.summary is not None:
+            self.summary.num_linear_solves += 1
+        return inc
+
+    def apply(self, inc):
+        t0 = time.monotonic()
+        cams, lm_ps, l_diff = sync(self._apply_fn(
+            self.consts, self.state.cams, self.state.lm_ps, self._lins,
+            self._stage2, self._pose_scale, inc))
+        if self.it_summary is not None:
+            self.it_summary.back_substitution_time_in_seconds = (
+                time.monotonic() - t0)
+        return BAState(cams=cams, lm_ps=lm_ps), float(l_diff)

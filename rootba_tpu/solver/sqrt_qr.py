@@ -40,8 +40,10 @@ from rootba_tpu.ops.batched_qr import householder_qr3, solve_upper
 from rootba_tpu.solver.linearization import (
     POSE_SIZE,
     BucketIndex,
+    CamCsrIndex,
     CamState,
     LinBucket,
+    csr_cam_reduce,
 )
 
 Arrays = Tuple[jnp.ndarray, ...]
@@ -83,6 +85,7 @@ def sqrt_stage2(
     num_cameras: int,
     *,
     precond_jacobi: bool = False,
+    csr: CamCsrIndex | None = None,
 ) -> SqrtStage2:
     """Per-lambda stage 2 (reference get_stage2,
     linearization_qr.hpp:716-815): landmark damping, RHS, SCHUR_JACOBI
@@ -96,6 +99,8 @@ def sqrt_stage2(
     blocks = jnp.zeros((num_cameras, POSE_SIZE, POSE_SIZE), dtype)
     Q1hs = []
     Rs = []
+    b_rows = []
+    blk_rows_all = []
     for lin, bucket in zip(lin_buckets, buckets):
         R, Q1h = _augmented_qr(lin, lam)
         Q1hs.append(Q1h)
@@ -105,9 +110,13 @@ def sqrt_stage2(
         # RHS: Jp^T (r - Q1h Q1h^T r)
         w = _project_out(Q1h, lin.r)
         y = jnp.einsum("lnrj,lnr->lnj", lin.Jp, w)
-        b = b + jax.ops.segment_sum(
-            y.reshape(-1, POSE_SIZE), flat_idx, num_segments=num_cameras
-        )
+        if csr is not None:
+            b_rows.append(y.reshape(-1, POSE_SIZE))
+        else:
+            b = b + jax.ops.segment_sum(
+                y.reshape(-1, POSE_SIZE), flat_idx,
+                num_segments=num_cameras
+            )
 
         # preconditioner blocks. NOTE: computed as broadcast-mul-reduce
         # (not dot_general) and flattened to [O, 81] before the scatter:
@@ -132,9 +141,17 @@ def sqrt_stage2(
             B = jnp.tile(Jp_f, (1, 1, 3))  # [O,2,27]
             W27 = jnp.sum(A * B, axis=1)  # W27[o, c*9+j]
             blk = blk - gram81(W27.reshape(L * n, 3, POSE_SIZE))
-        blocks = blocks + jax.ops.segment_sum(
-            blk, flat_idx, num_segments=num_cameras,
-        ).reshape(num_cameras, POSE_SIZE, POSE_SIZE)
+        if csr is not None:
+            blk_rows_all.append(blk)
+        else:
+            blocks = blocks + jax.ops.segment_sum(
+                blk, flat_idx, num_segments=num_cameras,
+            ).reshape(num_cameras, POSE_SIZE, POSE_SIZE)
+
+    if csr is not None:
+        b = csr_cam_reduce(b_rows, csr, num_cameras)
+        blocks = csr_cam_reduce(blk_rows_all, csr, num_cameras).reshape(
+            num_cameras, POSE_SIZE, POSE_SIZE)
 
     # pose damping on the preconditioner diagonal (both JACOBI's explicit
     # damping vector and SCHUR_JACOBI's += lam, reference
@@ -152,22 +169,29 @@ def sqrt_matvec(
     stage2: SqrtStage2,
     num_cameras: int,
     x: jnp.ndarray,
+    csr: CamCsrIndex | None = None,
 ) -> jnp.ndarray:
     """y = [(Q2'Jp)'(Q2'Jp) + lam I] x   (reference right_multiply,
     linearization_qr.hpp:823-825 -> landmark_block_base.ipp
-    add_Q2TJp_T_Q2TJp_mult_x, with the mutex scatter replaced by
-    segment-sum)."""
+    add_Q2TJp_T_Q2TJp_mult_x, with the mutex scatter replaced by a
+    static camera-CSR gather-reduce, or segment-sum when sharded)."""
     y = stage2.lam.astype(x.dtype) * x
+    yb_rows = []
     for lin, bucket, Q1h in zip(lin_buckets, buckets, stage2.Q1h):
         xg = x[bucket.cam_idx]  # [L,n,9]
         w = jnp.einsum("lnrj,lnj->lnr", lin.Jp, xg)
         w = _project_out(Q1h, w)
         yb = jnp.einsum("lnrj,lnr->lnj", lin.Jp, w)
-        y = y + jax.ops.segment_sum(
-            yb.reshape(-1, POSE_SIZE),
-            bucket.cam_idx.reshape(-1),
-            num_segments=num_cameras,
-        )
+        if csr is not None:
+            yb_rows.append(yb.reshape(-1, POSE_SIZE))
+        else:
+            y = y + jax.ops.segment_sum(
+                yb.reshape(-1, POSE_SIZE),
+                bucket.cam_idx.reshape(-1),
+                num_segments=num_cameras,
+            )
+    if csr is not None:
+        y = y + csr_cam_reduce(yb_rows, csr, num_cameras)
     return y
 
 
