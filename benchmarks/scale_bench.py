@@ -35,7 +35,7 @@ def main():
     from rootba_tpu.config.options import SolverOptions
     from rootba_tpu.solver.fused_lm import build_fused_lm
     from rootba_tpu.solver.lm import create_linearizer, initial_state
-    from rootba_tpu.utils.jax_setup import enable_compilation_cache
+    from rootba_tpu.utils.jax_setup import enable_compilation_cache, sync
 
     enable_compilation_cache()
 
@@ -62,14 +62,14 @@ def main():
         state = initial_state(bp, "float32")
         if hasattr(linearizer, "prepare_state"):
             state = linearizer.prepare_state(state)
-        out = jax.block_until_ready(
+        out = sync(
             solve_fn(linearizer.consts, state.cams, state.lm_ps))
         t_compile = time.monotonic() - t0
 
         times = []
         for _ in range(3):
             t0 = time.monotonic()
-            out = jax.block_until_ready(
+            out = sync(
                 solve_fn(linearizer.consts, state.cams, state.lm_ps))
             times.append(time.monotonic() - t0)
         elapsed = sorted(times)[1]

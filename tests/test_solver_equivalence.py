@@ -216,3 +216,45 @@ def test_back_substitution_equivalence(lin_setup):
     for a, b in zip(new_qr, new_sc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7,
                                    atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Flat-layout solver and dual-path reduction equivalence. The reference
+# guards its two concurrency disciplines (tree-reduce vs mutex scatter,
+# reduction_alg 0/1) by requiring identical results; here the analogs are
+# segment_sum vs camera-CSR gather-reduce and the per-bucket einsum vs
+# flat per-obs layouts.
+# ---------------------------------------------------------------------------
+
+def _one_solve(bp, layout, reduction_alg, dtype):
+    from rootba_tpu.solver.lm import create_linearizer
+
+    opts = SolverOptions(kernel_layout=layout, reduction_alg=reduction_alg,
+                         use_double=(dtype == np.float64))
+    lin = create_linearizer(bp, opts, dtype)
+    state = initial_state(bp, dtype)
+    lam = jnp.asarray(1e-3, dtype)
+    lins, pose_scale, _ = lin._stage1_fn(lin.consts, state.cams,
+                                         state.lm_ps)
+    inc, s2, iters, _ = lin._solve_fn(lin.consts, lins, lam)
+    cams, lm_ps, l_diff = lin._apply_fn(
+        lin.consts, state.cams, state.lm_ps, lins, s2, pose_scale, inc)
+    return (np.asarray(pose_scale), np.asarray(s2.b), np.asarray(inc),
+            float(l_diff), np.asarray(cams.q),
+            np.concatenate([np.asarray(p).ravel() for p in lm_ps]))
+
+
+@pytest.mark.parametrize("variant", [
+    ("flat", 1), ("flat", 0), ("einsum", 0)])
+def test_flat_and_reduction_paths_match(synthetic_problem, variant, dtype):
+    """flat/einsum layouts x CSR/segment-sum reductions all produce the
+    same stage1/stage2/solve/apply results (to dtype rounding)."""
+    layout, reduction_alg = variant
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    ref = _one_solve(bp, "einsum", 1, dtype.type)
+    got = _one_solve(bp, layout, reduction_alg, dtype.type)
+    rtol = 1e-4 if dtype.itemsize == 4 else 1e-10
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} ({layout}, alg={reduction_alg})")
