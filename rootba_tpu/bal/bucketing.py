@@ -56,6 +56,12 @@ class CamCsr(NamedTuple):
     idx: np.ndarray  # [R, width] int32 flat-slot positions (pad=dump)
     idx2: np.ndarray  # [N, vmax] int32 virtual-row ids (pad=R)
     total_slots: int  # dump index == sum of L*n over buckets
+    row_cam: np.ndarray  # [R] int32 camera of each virtual row (0 if empty)
+    lm2cs: np.ndarray  # [total_slots] int32 CSR-slot of each flat obs
+    #                    slot (= R*width for masked/padded slots)
+    cs_lm: np.ndarray  # [R*width] int32 global landmark row (over the
+    #                    concatenated per-bucket L axes) of each CSR slot
+    #                    (= total landmark rows for padded slots)
 
 
 class BucketedProblem(NamedTuple):
@@ -193,8 +199,34 @@ def build_cam_csr(buckets, num_cameras: int, width: int = 64) -> CamCsr:
     cc = (np.arange(rr.size, dtype=np.int64)
           - np.repeat(np.cumsum(nrows) - nrows, nrows))
     idx2[rr, cc] = np.arange(rr.size, dtype=np.int64)
+
+    # inverse permutation: flat obs slot -> CSR slot (masked slots ->
+    # sentinel R*width), plus per-CSR-slot camera row and global
+    # landmark row for the camera-major solver layout
+    row_cam = np.zeros((R,), dtype=np.int64)
+    row_cam[:rr.size] = rr  # rows are laid out camera-major
+    lm2cs = np.full((total_slots,), R * width, dtype=np.int64)
+    lm2cs[idx[row, col]] = row * width + col
+
+    # global landmark row of each flat obs slot: buckets concatenate as
+    # [L_b * n_b] with lm row = bucket_base + slot // n_b
+    lm_of_flat = np.empty((total_slots,), dtype=np.int64)
+    off = 0
+    lbase = 0
+    for b in buckets:
+        L, n = b.cam_idx.shape
+        lm_of_flat[off:off + L * n] = (
+            lbase + np.repeat(np.arange(L, dtype=np.int64), n))
+        off += L * n
+        lbase += L
+    cs_lm = np.full((R * width,), lbase, dtype=np.int64)
+    cs_lm[lm2cs[lm2cs < R * width]] = lm_of_flat[lm2cs < R * width]
+
     return CamCsr(idx=idx.astype(np.int32), idx2=idx2.astype(np.int32),
-                  total_slots=int(total_slots))
+                  total_slots=int(total_slots),
+                  row_cam=row_cam.astype(np.int32),
+                  lm2cs=lm2cs.astype(np.int32),
+                  cs_lm=cs_lm.astype(np.int32))
 
 
 def scatter_landmarks(

@@ -192,8 +192,10 @@ class SolverOptions:
     # --- TPU-native additions ------------------------------------------------
     kernel_layout: str = opt(
         "flat", help="'flat' (default) uses one [O,2,9]-style per-obs "
-                     "array per quantity concatenated across buckets "
-                     "(fewest relayout copies; fastest measured on TPU); "
+                     "array per quantity concatenated across buckets; "
+                     "'cm' stores Jp in camera-major CSR-slot order so "
+                     "all per-camera reductions are reshape-sums "
+                     "(fastest measured on TPU, single device); "
                      "'einsum' uses per-bucket [L,n,2,9] batched tensors "
                      "(used automatically for multi-device meshes); "
                      "'planar' uses [feature, landmark] SoA tensors "

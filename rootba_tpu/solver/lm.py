@@ -329,7 +329,11 @@ def create_linearizer(bp: BucketedProblem, options: SolverOptions, dtype,
             from rootba_tpu.solver.sqrt_planar import PlanarSqrtLinearizer
 
             return PlanarSqrtLinearizer(bp, options, dtype, mesh)
-        if options.kernel_layout == "flat" and mesh is None:
+        if options.kernel_layout == "cm" and mesh is None:
+            from rootba_tpu.solver.sqrt_cm import CmSqrtLinearizer
+
+            return CmSqrtLinearizer(bp, options, dtype, mesh)
+        if options.kernel_layout in ("flat", "cm") and mesh is None:
             from rootba_tpu.solver.sqrt_flat import FlatSqrtLinearizer
 
             return FlatSqrtLinearizer(bp, options, dtype, mesh)
