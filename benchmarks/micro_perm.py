@@ -138,5 +138,80 @@ def main():
     timed("reshape-reduce [S,9]->[R,9]", chain(red), K, z)
 
 
+
+
+def main2():
+    """Fused-consumer gather costs with REAL BAL permutation indices.
+
+    python -u benchmarks/micro_perm.py real [problem]
+    """
+    name = sys.argv[2] if len(sys.argv) > 2 else "trafalgar"
+    K = 16
+    from benchmarks.scale_bench import SIZES
+    from rootba_tpu.bal.bucketing import bucketize
+    from rootba_tpu.bal.synthetic import generate_synthetic_bal
+
+    nc, nl, nobs = SIZES[name]
+    p = generate_synthetic_bal(num_cams=nc, num_lms=nl,
+                               mean_obs_per_lm=nobs / nl, seed=17)
+    p.normalize(100.0)
+    p.filter_obs(0.1)
+    bp = bucketize(p)
+    csr = bp.cam_csr
+    O = int(csr.total_slots)
+    S = int(csr.idx.size)
+    lm2cs = jnp.asarray(csr.lm2cs)
+    cs2lm = jnp.asarray(csr.idx.reshape(-1))
+    rng = np.random.default_rng(0)
+    z = jnp.zeros((), jnp.float32)
+    print(f"{name}: O={O} S={S}", flush=True)
+
+    w_cs = jnp.asarray(rng.normal(size=(S, 2)).astype(np.float32))
+    w_lm = jnp.asarray(rng.normal(size=(O, 2)).astype(np.float32))
+    q1h = jnp.asarray(rng.normal(size=(O, 2, 3)).astype(np.float32))
+
+    def g_mat(eps):
+        return jnp.take(w_cs + eps, lm2cs, axis=0, mode="fill",
+                        fill_value=0.0)
+
+    timed("take [O,2] real-idx materialize", chain(g_mat), K, z)
+
+    def g_fused(eps):
+        wl = jnp.take(w_cs + eps, lm2cs, axis=0, mode="fill",
+                      fill_value=0.0)
+        return jnp.einsum("orc,or->oc", q1h, wl)  # [O,3]
+
+    timed("take [O,2] real-idx + einsum consumer", chain(g_fused), K, z)
+
+    def g_up(eps):
+        wcs = jnp.take(w_lm + eps, cs2lm, axis=0, mode="fill",
+                       fill_value=0.0)
+        return jnp.sum(wcs.reshape(S // 64, 64, 2), axis=1)
+
+    timed("take [S,2] real-idx + reduce consumer", chain(g_up), K, z)
+
+    # random-index baseline, same shapes
+    perm = jnp.asarray(rng.permutation(S)[:O].astype(np.int32))
+
+    def g_rand(eps):
+        return jnp.take(w_cs + eps, perm, axis=0, mode="fill",
+                        fill_value=0.0)
+
+    timed("take [O,2] random-idx materialize", chain(g_rand), K, z)
+
+    # wide-row variant: gather 2 rows per index from a pre-paired table
+    w_cs_pairs = w_cs.reshape(S // 2, 4)
+    idx_half = lm2cs[::2] // 2  # only valid if pairs aligned; timing only
+
+    def g_wide(eps):
+        return jnp.take(w_cs_pairs + eps, idx_half, axis=0, mode="fill",
+                        fill_value=0.0)
+
+    timed("take [O/2,4] half-rows (timing only)", chain(g_wide), K, z)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "real":
+        main2()
+    else:
+        main()
