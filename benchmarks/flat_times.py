@@ -80,7 +80,7 @@ def main():
         state = lin.prepare_state(state)
     N = lin.num_cameras
     consts = lin.consts
-    buckets, csr, cam_flat = consts
+    buckets, csr, cam_flat = consts[:3]
     lam = jnp.asarray(1e-4, jnp.float32)
     z = jnp.zeros((), jnp.float32)
     O = int(cam_flat.shape[0])

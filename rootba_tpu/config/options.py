@@ -232,6 +232,17 @@ class SolverOptions:
                    "dense [9N, 9N] matrix when num_cameras <= this (the "
                    "PCG matvec becomes a single MXU GEMV instead of "
                    "block-gather + scatter); 0 disables")
+    sqrt_rcs_mode: str = opt(
+        "auto", help="SQUARE_ROOT solver CG operator: 'implicit' "
+                     "applies (Q2'Jp)'(Q2'Jp) matrix-free per CG "
+                     "iteration (the reference's only mode, two O-sized "
+                     "row gathers per iteration); 'dense' assembles the "
+                     "reduced camera system explicitly once per stage2 "
+                     "and runs CG as dense GEMVs (~47x faster per CG "
+                     "iteration at trafalgar scale); 'auto' picks dense "
+                     "on a single device when num_cameras <= "
+                     "dense_rcs_max_cameras and the preconditioner is "
+                     "SCHUR_JACOBI")
     bucket_pow2_from: int = opt(
         9, help="bucket obs-counts exactly up to this, then pad to pow2 "
                "(mirrors the reference's static-size landmark blocks 2..8, "

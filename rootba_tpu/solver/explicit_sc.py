@@ -134,13 +134,28 @@ class SCStage2(NamedTuple):
     lam: jnp.ndarray
 
 
-def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras):
-    """get_Hb (sc/linearization_sc.hpp:232-348 + landmark_block add_Hb)."""
+def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras,
+                pair_csr=None, cam_csr=None):
+    """get_Hb (sc/linearization_sc.hpp:232-348 + landmark_block add_Hb).
+
+    With pair_csr (single device), the num_cams^2-mutex analog is a
+    pair-CSR gather-reduce over all (obs_i, obs_j) pair products --
+    ~10x faster than the scatter (segment_sum) path, which is kept for
+    sharded meshes (GSPMD lowers it to local scatter + psum). Both
+    paths enumerate unique pairs in the same sorted (row*N+col) order.
+    """
+    from rootba_tpu.solver.linearization import (
+        csr_cam_reduce,
+        csr_pair_reduce,
+    )
+
     dtype = lins[0].Jp.dtype
     P = pairs.num_pairs
     H = jnp.zeros((P + 1, P9 * P9), dtype)
     b = jnp.zeros((num_cameras, P9), dtype)
     Hll_invs = []
+    pair_parts = []
+    b_parts = []
     for lin, bucket, pid in zip(lins, buckets, pairs.pair_ids):
         L, n = lin.Jp.shape[0], lin.Jp.shape[1]
         Jl2 = lin.Jl.reshape(L, 2 * n, 3)
@@ -152,25 +167,44 @@ def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras):
 
         rr = lin.r - jnp.einsum("lnrc,lc->lnr", lin.Jl, hbl)
         yb = jnp.einsum("lnrj,lnr->lnj", lin.Jp, rr)
-        b = b + jax.ops.segment_sum(
-            yb.reshape(-1, P9), bucket.cam_idx.reshape(-1),
-            num_segments=num_cameras)
+        if cam_csr is not None:
+            b_parts.append(yb.reshape(-1, P9))
+        else:
+            b = b + jax.ops.segment_sum(
+                yb.reshape(-1, P9), bucket.cam_idx.reshape(-1),
+                num_segments=num_cameras)
 
-        # diagonal Jp_i' Jp_i at pair (c_i, c_i). Scatter operands are
+        # diagonal Jp_i' Jp_i at (c_i, c_i); SC coupling
+        # -Jp_i' Jl_i Hll^-1 Jl_j' Jp_j at (c_i, c_j). Operands are
         # flattened to [*, 81]: materialized [...,9,9] buffers get
         # (8,128) minor-dim tiling on TPU (~25x memory inflation).
         D = jnp.einsum("lnri,lnrj->lnij", lin.Jp, lin.Jp)
-        diag_pid_b = pid[:, jnp.arange(n), jnp.arange(n)]  # [L,n]
-        H = H + jax.ops.segment_sum(
-            D.reshape(-1, P9 * P9), diag_pid_b.reshape(-1),
-            num_segments=P + 1)
-
-        # SC coupling -Jp_i' Jl_i Hll^-1 Jl_j' Jp_j at pair (c_i, c_j)
         T = jnp.einsum("lnrc,lnrj->lncj", lin.Jl, lin.Jp)  # [L,n,3,9]
         HT = jnp.einsum("lcd,lndj->lncj", Hll_inv, T)
-        M = jnp.einsum("lnci,lmcj->lnmij", T, HT)  # [L,n,n,9,9]
-        H = H + jax.ops.segment_sum(
-            (-M).reshape(-1, P9 * P9), pid.reshape(-1), num_segments=P + 1)
+        M = -jnp.einsum("lnci,lmcj->lnmij", T, HT)  # [L,n,n,9,9]
+        if pair_csr is not None:
+            eye_n = jnp.eye(n, dtype=dtype)
+            M = M + eye_n[None, :, :, None, None] * D[:, :, None]
+            pair_parts.append(M.reshape(L * n * n, P9 * P9))
+        else:
+            diag_pid_b = pid[:, jnp.arange(n), jnp.arange(n)]  # [L,n]
+            H = H + jax.ops.segment_sum(
+                D.reshape(-1, P9 * P9), diag_pid_b.reshape(-1),
+                num_segments=P + 1)
+            H = H + jax.ops.segment_sum(
+                M.reshape(-1, P9 * P9), pid.reshape(-1),
+                num_segments=P + 1)
+
+    if cam_csr is not None:
+        b = csr_cam_reduce(b_parts, cam_csr, num_cameras)
+    if pair_csr is not None:
+        # materialize the pair products before the CSR gather (see
+        # flat_assemble_rcs: prevents per-row recompute fusion)
+        Hblk = csr_pair_reduce(
+            jax.lax.optimization_barrier(
+                jnp.concatenate(pair_parts, axis=0)), pair_csr)
+        H = jnp.concatenate(
+            [Hblk, jnp.zeros((1, P9 * P9), dtype)], axis=0)
 
     # pose damping on the diagonal blocks (linearization_sc.hpp:317-320)
     eye9 = jnp.eye(P9, dtype=dtype).reshape(P9 * P9)
@@ -328,9 +362,17 @@ class SCLinearizer(LinearizerBase):
                           <= opts.dense_rcs_max_cameras)
         self.pairs = build_pair_structure(self.bp, self.num_cameras,
                                           dense=self.dense_rcs)
+        self.pair_csr = None
+        if self.mesh is None:
+            from rootba_tpu.bal.bucketing import build_pair_csr
+            from rootba_tpu.solver.linearization import PairCsrIndex
+
+            self.pair_csr = PairCsrIndex.from_host(
+                build_pair_csr(self.bp.buckets, self.num_cameras))
         # buckets + RCS sparsity structure + camera-CSR as runtime args
         # (see LinearizerBase.consts: avoids giant embedded HLO constants)
-        self.consts = (self.buckets, self.pairs, self.cam_csr)
+        self.consts = (self.buckets, self.pairs, self.cam_csr,
+                       self.pair_csr)
         precond_type = opts.preconditioner_type
         if precond_type not in (PreconditionerType.SCHUR_JACOBI,
                                 PreconditionerType.POWER_SCHUR_COMPLEMENT):
@@ -349,9 +391,10 @@ class SCLinearizer(LinearizerBase):
                                        csr=consts[2])
 
         def solve_fn(consts, lins, lam):
-            buckets, pairs, csr = consts
+            buckets, pairs, csr, pair_csr = consts
             stage2 = sc_assemble(lins, buckets, pairs, lam,
-                                 self.num_cameras)
+                                 self.num_cameras, pair_csr=pair_csr,
+                                 cam_csr=csr)
 
             if self.dense_rcs:
                 H_dense = sc_densify(stage2, pairs, self.num_cameras)

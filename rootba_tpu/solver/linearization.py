@@ -78,6 +78,44 @@ def csr_cam_reduce(contribs, csr: CamCsrIndex,
     return jnp.sum(rsum[csr.idx2], axis=1)  # [N, F]
 
 
+class PairCsrIndex(NamedTuple):
+    """Device copy of bucketing.PairCsr (see its docstring)."""
+
+    idx: jnp.ndarray  # [R, width] int32
+    idx2: jnp.ndarray  # [P, vmax] int32
+    pair_row: jnp.ndarray  # [P] int32
+    pair_col: jnp.ndarray  # [P] int32
+    dense_idx: jnp.ndarray  # [N*N] int32
+    diag_pid: jnp.ndarray  # [N] int32
+
+    @property
+    def num_pairs(self) -> int:
+        return self.pair_row.shape[0]
+
+    @staticmethod
+    def from_host(pcsr) -> "PairCsrIndex":
+        return PairCsrIndex(
+            idx=jnp.asarray(pcsr.idx), idx2=jnp.asarray(pcsr.idx2),
+            pair_row=jnp.asarray(pcsr.pair_row),
+            pair_col=jnp.asarray(pcsr.pair_col),
+            dense_idx=jnp.asarray(pcsr.dense_idx),
+            diag_pid=jnp.asarray(pcsr.diag_pid))
+
+
+def csr_pair_reduce(flat: jnp.ndarray, pairs: PairCsrIndex) -> jnp.ndarray:
+    """Per-unique-pair sum of flat [total_pair_slots, F] contribution
+    rows (in bucket pair-slot order) -> [P, F]. Same gather-reduce
+    scheme as csr_cam_reduce; replaces the segment-sum scatter of RCS
+    assembly (the reference's num_cams^2 mutex array,
+    sc/linearization_sc.hpp:327-348), ~10x faster on TPU."""
+    F = flat.shape[1]
+    flat = jnp.concatenate([flat, jnp.zeros((1, F), flat.dtype)], axis=0)
+    rsum = jnp.sum(flat[pairs.idx], axis=1)  # [R, F]
+    rsum = jnp.concatenate(
+        [rsum, jnp.zeros((1, F), rsum.dtype)], axis=0)
+    return jnp.sum(rsum[pairs.idx2], axis=1)  # [P, F]
+
+
 def packed_cam_table(cams: CamState) -> jnp.ndarray:
     """Pack per-camera parameters into one gather-friendly [N, 16]
     table (cols: q[4], t[3], intr[3], zero pad). One 16-wide row gather

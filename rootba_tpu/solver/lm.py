@@ -128,6 +128,7 @@ class LinearizerBase:
         # (OOM-killing the compile server). Subclasses may extend this in
         # _build().
         self.consts = self.buckets
+        self.bp = bp  # host-side structure (sparsity builders need it)
         self.robust_norm = (1 if options.residual.robust_norm
                             == RobustNorm.HUBER else 0)
         self.huber = float(options.residual.huber_parameter)

@@ -168,9 +168,13 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
 
 def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
                 *, precond_jacobi: bool = False,
-                csr=None) -> FlatStage2:
+                csr=None, with_precond: bool = True) -> FlatStage2:
     """Stage 2 (reference get_stage2, linearization_qr.hpp:716-815):
-    landmark damping via augmented thin-QR, RHS, preconditioner."""
+    landmark damping via augmented thin-QR, RHS, preconditioner.
+
+    with_precond=False skips the per-obs Gram preconditioner pass; used
+    by the explicit-RCS mode, whose diagonal blocks come for free from
+    the assembled H (see flat_assemble_rcs)."""
     dtype = lin.Jp.dtype
     offs = _bucket_offsets(buckets)
 
@@ -186,6 +190,11 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
         Rs.append(R)
         Q1h_parts.append(Q1[:, :2 * n, :].reshape(L * n, 2, 3))
     Q1h = jnp.concatenate(Q1h_parts, axis=0)  # [O,2,3]
+    # materialize Q1h once: it feeds several consumers (RHS projection,
+    # preconditioner Gram / RCS assembly, CG matvec) and XLA otherwise
+    # duplicates the whole QR into each fusion (~3x stage2 cost,
+    # benchmarks/rcs_assemble_bench.py)
+    Q1h = jax.lax.optimization_barrier(Q1h)
 
     # RHS: Jp^T (r - Q1h Q1h^T r)
     p = jnp.einsum("orc,or->oc", Q1h, lin.r)
@@ -197,6 +206,11 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
         b = csr_cam_reduce([yb], csr, num_cameras)
     else:
         b = jax.ops.segment_sum(yb, cam_flat, num_segments=num_cameras)
+
+    if not with_precond:
+        return FlatStage2(Q1h=Q1h, R=tuple(Rs), b=b,
+                          precond_chol=jnp.zeros((0, P9, P9), dtype),
+                          lam=jnp.asarray(lam, dtype))
 
     # preconditioner blocks: JACOBI = sum Jp_o' Jp_o; SCHUR_JACOBI
     # subtracts W' W with W = Q1h_o' Jp_o (per obs; Jp's block structure
@@ -224,6 +238,64 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
 
     return FlatStage2(Q1h=Q1h, R=tuple(Rs), b=b, precond_chol=chol,
                       lam=jnp.asarray(lam, dtype))
+
+
+def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
+                      num_cameras):
+    """Assemble the explicit reduced camera system of the sqrt solver,
+
+        H = Jp'Jp - (Q1'Jp)'(Q1'Jp) + lam I = (Q2'Jp)'(Q2'Jp) + lam I,
+
+    as a dense [9N, 9N] matrix, plus its per-camera diagonal blocks
+    (the SCHUR_JACOBI preconditioner) for free.
+
+    This is the same reduced system the implicit flat_matvec applies
+    (right_multiply, linearization_qr.hpp:823-825): expanding y =
+    lam x + Jp'(w - Q1h sum_l Q1h' w) over observation pairs gives
+    block (c_i, c_j) = delta_ij Jp_i'Jp_i - W_i'W_j with
+    W_o = Q1h_o'Jp_o. The reference never materializes H for the QR
+    solver (matrix-free CG); on TPU the per-CG-iteration cost of the
+    implicit product is two O-sized row gathers (~5 ns/row,
+    benchmarks/micro_perm.py) while a dense GEMV on the assembled H
+    runs at HBM bandwidth -- 47x faster per iteration at trafalgar
+    scale (benchmarks/stage2_break.py), paying one pair-CSR
+    gather-reduce per stage2.
+    """
+    dtype = lin.Jp.dtype
+    offs = _bucket_offsets(buckets)
+    N = num_cameras
+    dump = jnp.zeros((1, P9 * P9), dtype)
+
+    parts = []
+    for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
+        L, n = bucket.cam_idx.shape
+        Jp = lin.Jp[a:b_].reshape(L, n, 2, P9)
+        Q1b = stage2.Q1h[a:b_].reshape(L, n, 2, 3)
+        W = jnp.einsum("lnrc,lnrj->lncj", Q1b, Jp)  # [L,n,3,9]
+        M = -jnp.einsum("lnci,lmcj->lnmij", W, W)  # [L,n,n,9,9]
+        D = jnp.einsum("lnri,lnrj->lnij", Jp, Jp)
+        eye_n = jnp.eye(n, dtype=dtype)
+        M = M + eye_n[None, :, :, None, None] * D[:, :, None]
+        parts.append(M.reshape(L * n * n, P9 * P9))
+
+    # materialize the pair products once: the CSR gather would otherwise
+    # pull the producing einsums into its fusion and recompute them per
+    # gathered row (~2x assembly cost measured)
+    flat = jax.lax.optimization_barrier(jnp.concatenate(parts, axis=0))
+    from rootba_tpu.solver.linearization import csr_pair_reduce
+
+    Hblk = csr_pair_reduce(flat, pairs)  # [P, 81]
+
+    # densify (absent camera pairs -> zero block) + pose damping
+    Hp = jnp.concatenate([Hblk, dump], axis=0)
+    Hd = Hp[pairs.dense_idx].reshape(N, N, P9, P9)
+    Hd = Hd.transpose(0, 2, 1, 3).reshape(N * P9, N * P9)
+    lam = stage2.lam.astype(dtype)
+    Hd = Hd + lam * jnp.eye(N * P9, dtype=dtype)
+
+    diag = Hp[pairs.diag_pid].reshape(N, P9, P9)
+    diag = diag + lam * jnp.eye(P9, dtype=dtype)
+    return Hd, diag
 
 
 def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,
@@ -294,7 +366,24 @@ class FlatSqrtLinearizer(LinearizerBase):
                 f"for the SQUARE_ROOT solver")
         cam_flat = jnp.concatenate(
             [b.cam_idx.reshape(-1) for b in self.buckets])
-        self.consts = (self.buckets, self.cam_csr, cam_flat)
+        # explicit-RCS CG: assemble H once per stage2 and run CG
+        # gather-free on the dense [9N,9N] matrix (see flat_assemble_rcs)
+        mode = opts.sqrt_rcs_mode
+        if mode == "auto":
+            explicit = (self.mesh is None and not precond_jacobi
+                        and 0 < self.num_cameras
+                        <= opts.dense_rcs_max_cameras)
+        else:
+            explicit = mode == "dense"
+        self.explicit_rcs = explicit
+        pairs = None
+        if explicit:
+            from rootba_tpu.bal.bucketing import build_pair_csr
+            from rootba_tpu.solver.linearization import PairCsrIndex
+
+            pairs = PairCsrIndex.from_host(
+                build_pair_csr(self.bp.buckets, self.num_cameras))
+        self.consts = (self.buckets, self.cam_csr, cam_flat, pairs)
         N = self.num_cameras
         use_valid = opts.use_projection_validity_check()
 
@@ -307,24 +396,47 @@ class FlatSqrtLinearizer(LinearizerBase):
                 cams, lm_ps, consts[0], self.robust_norm, self.huber)
 
         def stage1_fn(consts, cams, lm_ps):
-            buckets, csr, cam_flat = consts
+            buckets, csr, cam_flat = consts[:3]
             return flat_linearize(
                 cams, lm_ps, buckets, cam_flat, self.robust_norm,
                 self.huber, use_valid, self.jacobi_eps,
                 opts.jacobi_scaling, csr, N)
 
         def solve_fn(consts, lins, lam):
-            buckets, csr, cam_flat = consts
-            # stage2 keeps segment_sum for its 81-wide preconditioner
-            # rows (CSR gathers are slower above ~16 floats per row);
-            # the RHS reduce stays with it for one fused sweep.
-            stage2 = flat_stage2(
-                lins, buckets, cam_flat, lam, N,
-                precond_jacobi=precond_jacobi, csr=None)
+            buckets, csr, cam_flat, pairs = consts
+            if explicit:
+                # explicit dense RCS: assemble H = (Q2'Jp)'(Q2'Jp)+lam I
+                # once, then CG is pure GEMVs (no per-iteration
+                # gathers). SCHUR_JACOBI blocks are the diagonal of the
+                # assembled H (free); forced-JACOBI keeps stage2's own
+                # Jp'Jp block pass.
+                stage2 = flat_stage2(
+                    lins, buckets, cam_flat, lam, N,
+                    precond_jacobi=precond_jacobi, csr=csr,
+                    with_precond=precond_jacobi)
+                Hd, diag = flat_assemble_rcs(lins, stage2, buckets,
+                                             pairs, N)
+                if not precond_jacobi:
+                    chol = jnp.linalg.cholesky(diag)
+                    stage2 = stage2._replace(precond_chol=chol)
+
+                def matvec(x):
+                    return (Hd @ x.reshape(-1)).reshape(x.shape)
+            else:
+                # stage2 keeps segment_sum for its 81-wide
+                # preconditioner rows (CSR gathers are slower above ~16
+                # floats per row); the RHS reduce stays with it for one
+                # fused sweep.
+                stage2 = flat_stage2(
+                    lins, buckets, cam_flat, lam, N,
+                    precond_jacobi=precond_jacobi, csr=None)
+
+                def matvec(x):
+                    return flat_matvec(lins, stage2, buckets, cam_flat,
+                                       N, x, csr=csr)
 
             res = pcg(
-                lambda x: flat_matvec(lins, stage2, buckets, cam_flat,
-                                      N, x, csr=csr),
+                matvec,
                 lambda r: precond_apply(stage2.precond_chol, r),
                 stage2.b,
                 min_num_iterations=opts.min_linear_solver_iterations,
@@ -337,7 +449,7 @@ class FlatSqrtLinearizer(LinearizerBase):
                     res.termination_type)
 
         def apply_fn(consts, cams, lm_ps, lins, stage2, pose_scale, inc):
-            buckets, csr, cam_flat = consts
+            buckets, csr, cam_flat = consts[:3]
             new_lm_ps, l_diff = flat_back_substitute(
                 lins, stage2, buckets, cam_flat, lm_ps, inc)
             inc_scaled = inc * pose_scale

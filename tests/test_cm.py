@@ -54,7 +54,7 @@ def test_stage2_and_matvec(pair, lam):
     N = flat.num_cameras
     lam_arr = jnp.asarray(lam, jnp.float64)
 
-    buckets, csr, cam_flat = flat.consts
+    buckets, csr, cam_flat = flat.consts[:3]
     s2_flat = sqrt_flat.flat_stage2(flat._lins, buckets, cam_flat,
                                     lam_arr, N)
     cmi, lm_masks = cm.consts

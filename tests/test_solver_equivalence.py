@@ -226,11 +226,11 @@ def test_back_substitution_equivalence(lin_setup):
 # flat per-obs layouts.
 # ---------------------------------------------------------------------------
 
-def _one_solve(bp, layout, reduction_alg, dtype):
+def _one_solve(bp, layout, reduction_alg, dtype, **extra):
     from rootba_tpu.solver.lm import create_linearizer
 
     opts = SolverOptions(kernel_layout=layout, reduction_alg=reduction_alg,
-                         use_double=(dtype == np.float64))
+                         use_double=(dtype == np.float64), **extra)
     lin = create_linearizer(bp, opts, dtype)
     state = initial_state(bp, dtype)
     lam = jnp.asarray(1e-3, dtype)
@@ -252,9 +252,24 @@ def test_flat_and_reduction_paths_match(synthetic_problem, variant, dtype):
     layout, reduction_alg = variant
     bp = bucketize(synthetic_problem, pow2_from=9)
     ref = _one_solve(bp, "einsum", 1, dtype.type)
-    got = _one_solve(bp, layout, reduction_alg, dtype.type)
+    got = _one_solve(bp, layout, reduction_alg, dtype.type,
+                     sqrt_rcs_mode="implicit")
     rtol = 1e-4 if dtype.itemsize == 4 else 1e-10
     for i, (a, b) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
             err_msg=f"component {i} ({layout}, alg={reduction_alg})")
+
+
+def test_sqrt_explicit_vs_implicit_rcs(synthetic_problem, dtype):
+    """The explicit dense RCS assembled from the QR factors
+    (flat_assemble_rcs) runs CG to the same increment as the implicit
+    matrix-free operator (the reference's only mode)."""
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="implicit")
+    got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense")
+    rtol = 2e-4 if dtype.itemsize == 4 else 1e-9
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (explicit vs implicit rcs)")
