@@ -229,6 +229,134 @@ def build_cam_csr(buckets, num_cameras: int, width: int = 64) -> CamCsr:
                   cs_lm=cs_lm.astype(np.int32))
 
 
+class PairCsr(NamedTuple):
+    """Camera-pair-major index of all strict observation pairs (i < j
+    within one landmark), canonicalized so the first element's camera
+    <= the second's.
+
+    Used to assemble the explicit reduced camera system H_pp as two
+    static row gathers + a clean reduction instead of a segment-sum
+    scatter (TPU scatter-adds cost ~10x the equivalent sorted gather,
+    and materialized [L,n,n,9,9] pair tensors pay double layout-copy
+    passes; measured in benchmarks/stage2_break.py /
+    benchmarks/profile_solve.py). Each CSR slot stores the FLAT OBS
+    indices (into the [O] obs axis) of the pair's two observations:
+    the consumer gathers the per-obs strip rows (e.g. W = Q1h'Jp,
+    [O, 27]) for both sides, forms the 9x9 block product elementwise,
+    and reduces fixed-width runs -- level 2 sums each unique camera
+    pair's runs (same two-level scheme as CamCsr). Only the upper
+    camera triangle is assembled; densification mirrors the transpose.
+    Diagonal (i == i) contributions are NOT in the pair stream -- they
+    reduce per camera via CamCsr.
+
+    Replaces the reference's num_cams^2 mutex array for RCS assembly
+    (sc/linearization_sc.hpp:92-95, :327-348).
+    """
+
+    wi_idx: np.ndarray  # [R, width] int32 flat obs index of side 1 (pad=O)
+    wj_idx: np.ndarray  # [R, width] int32 flat obs index of side 2 (pad=O)
+    idx2: np.ndarray  # [P, vmax] int32 virtual-row ids (pad=R)
+    pair_row: np.ndarray  # [P] int32 camera row (<= col) of each pair
+    pair_col: np.ndarray  # [P] int32 camera col
+    up_idx: np.ndarray  # [N*N] int32 dense block (r,c) -> pair id of
+    #                     (r,c) if r <= c else P
+    lo_idx: np.ndarray  # [N*N] int32 dense block (r,c) -> pair id of
+    #                     (c,r) if c <= r else P (transposed mirror)
+    num_obs_slots: int  # dump obs index == sum of L*n over buckets
+
+
+def _csr_rows(pos: np.ndarray, seg: np.ndarray, num_segments: int,
+              width: int, dump: int):
+    """Shared virtual-row packing: scatter sorted positions `pos`
+    (segment ids `seg`, already sorted by segment) into fixed-width
+    rows grouped by segment. Returns (idx [R,width], idx2 [S,vmax],
+    rows_per_segment)."""
+    counts = np.bincount(seg, minlength=num_segments).astype(np.int64)
+    rows_per_seg = -(-counts // width)
+    R = max(int(rows_per_seg.sum()), 1)
+    idx = np.full((R, width), dump, dtype=np.int64)
+    row_starts = np.zeros(num_segments + 1, dtype=np.int64)
+    row_starts[1:] = np.cumsum(rows_per_seg)
+    within = (np.arange(pos.size, dtype=np.int64)
+              - np.repeat(np.cumsum(counts) - counts, counts))
+    row = np.repeat(row_starts[:-1], counts) + within // width
+    col = within % width
+    idx[row, col] = pos
+    vmax = max(int(rows_per_seg.max(initial=1)), 1)
+    idx2 = np.full((num_segments, vmax), R, dtype=np.int64)
+    rr = np.repeat(np.arange(num_segments, dtype=np.int64), rows_per_seg)
+    cc = (np.arange(rr.size, dtype=np.int64)
+          - np.repeat(np.cumsum(rows_per_seg) - rows_per_seg,
+                      rows_per_seg))
+    idx2[rr, cc] = np.arange(rr.size, dtype=np.int64)
+    return idx, idx2, rows_per_seg
+
+
+def build_pair_csr(buckets, num_cameras: int, width: int = 64) -> PairCsr:
+    """Build the canonicalized strict-pair index (see PairCsr)."""
+    N = num_cameras
+    wi_list, wj_list, code_list = [], [], []
+    off = 0
+    for b in buckets:
+        L, n = b.cam_idx.shape
+        iu, ju = np.triu_indices(n, k=1)
+        if iu.size:
+            # flat obs index of slot (l, k) is off + l*n + k
+            base = off + np.arange(L, dtype=np.int64)[:, None] * n
+            oi = (base + iu[None, :]).reshape(-1)
+            oj = (base + ju[None, :]).reshape(-1)
+            ci = b.cam_idx[:, iu].astype(np.int64).reshape(-1)
+            cj = b.cam_idx[:, ju].astype(np.int64).reshape(-1)
+            valid = (b.mask[:, iu] & b.mask[:, ju]).reshape(-1)
+            # canonical order: first side's camera <= second side's
+            swap = ci > cj
+            oi2 = np.where(swap, oj, oi)
+            oj2 = np.where(swap, oi, oj)
+            a = np.where(swap, cj, ci)
+            c = np.where(swap, ci, cj)
+            wi_list.append(oi2[valid])
+            wj_list.append(oj2[valid])
+            code_list.append((a * N + c)[valid])
+        off += L * n
+    num_obs_slots = off
+    if code_list:
+        wi = np.concatenate(wi_list)
+        wj = np.concatenate(wj_list)
+        codes = np.concatenate(code_list)
+    else:
+        wi = wj = np.zeros(0, np.int64)
+        codes = np.zeros(0, np.int64)
+
+    unique, seg = np.unique(codes, return_inverse=True)
+    P = unique.size
+    order = np.argsort(seg, kind="stable")
+    wi, wj, seg = wi[order], wj[order], seg[order]
+
+    # pack (wi, wj) into the fixed-width virtual-row grid grouped by
+    # unique pair; padded slots point both sides at the dump obs row O
+    pos_rows, idx2, _ = _csr_rows(
+        np.arange(wi.size, dtype=np.int64), seg, P, width, wi.size)
+    wi_ext = np.concatenate([wi, [num_obs_slots]])
+    wj_ext = np.concatenate([wj, [num_obs_slots]])
+    wi_idx = wi_ext[np.minimum(pos_rows, wi.size)]
+    wj_idx = wj_ext[np.minimum(pos_rows, wj.size)]
+
+    rows = (unique // N).astype(np.int64)
+    cols = (unique % N).astype(np.int64)
+    up_idx = np.full(N * N, P, dtype=np.int64)
+    up_idx[rows * N + cols] = np.arange(P, dtype=np.int64)
+    lo_idx = np.full(N * N, P, dtype=np.int64)
+    lo_idx[cols * N + rows] = np.arange(P, dtype=np.int64)
+
+    return PairCsr(
+        wi_idx=wi_idx.astype(np.int32), wj_idx=wj_idx.astype(np.int32),
+        idx2=idx2.astype(np.int32),
+        pair_row=rows.astype(np.int32), pair_col=cols.astype(np.int32),
+        up_idx=up_idx.astype(np.int32), lo_idx=lo_idx.astype(np.int32),
+        num_obs_slots=int(num_obs_slots),
+    )
+
+
 def scatter_landmarks(
     bp: BucketedProblem, lm_p_buckets
 ) -> np.ndarray:

@@ -134,29 +134,17 @@ class SCStage2(NamedTuple):
     lam: jnp.ndarray
 
 
-def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras,
-                pair_csr=None, cam_csr=None):
-    """get_Hb (sc/linearization_sc.hpp:232-348 + landmark_block add_Hb).
-
-    With pair_csr (single device), the num_cams^2-mutex analog is a
-    pair-CSR gather-reduce over all (obs_i, obs_j) pair products --
-    ~10x faster than the scatter (segment_sum) path, which is kept for
-    sharded meshes (GSPMD lowers it to local scatter + psum). Both
-    paths enumerate unique pairs in the same sorted (row*N+col) order.
-    """
-    from rootba_tpu.solver.linearization import (
-        csr_cam_reduce,
-        csr_pair_reduce,
-    )
+def sc_rhs_and_hll(lins, buckets, lam, num_cameras, cam_csr=None):
+    """Per-bucket damped Hll^-1 and the RCS right-hand side
+    b = Jp'(r - Jl Hll^-1 Jl' r) (landmark_block stage(),
+    sc/landmark_block.hpp:342-364). Returns (b, Hll_invs)."""
+    from rootba_tpu.solver.linearization import csr_cam_reduce
 
     dtype = lins[0].Jp.dtype
-    P = pairs.num_pairs
-    H = jnp.zeros((P + 1, P9 * P9), dtype)
     b = jnp.zeros((num_cameras, P9), dtype)
-    Hll_invs = []
-    pair_parts = []
     b_parts = []
-    for lin, bucket, pid in zip(lins, buckets, pairs.pair_ids):
+    Hll_invs = []
+    for lin, bucket in zip(lins, buckets):
         L, n = lin.Jp.shape[0], lin.Jp.shape[1]
         Jl2 = lin.Jl.reshape(L, 2 * n, 3)
         r2 = lin.r.reshape(L, 2 * n)
@@ -164,7 +152,6 @@ def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras,
         Hll_invs.append(Hll_inv)
         bl = jnp.einsum("lrc,lr->lc", Jl2, r2)
         hbl = jnp.einsum("lcd,ld->lc", Hll_inv, bl)
-
         rr = lin.r - jnp.einsum("lnrc,lc->lnr", lin.Jl, hbl)
         yb = jnp.einsum("lnrj,lnr->lnj", lin.Jp, rr)
         if cam_csr is not None:
@@ -173,38 +160,41 @@ def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras,
             b = b + jax.ops.segment_sum(
                 yb.reshape(-1, P9), bucket.cam_idx.reshape(-1),
                 num_segments=num_cameras)
+    if cam_csr is not None:
+        b = csr_cam_reduce(b_parts, cam_csr, num_cameras)
+    return b, tuple(Hll_invs)
 
+
+def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras,
+                cam_csr=None):
+    """get_Hb (sc/linearization_sc.hpp:232-348 + landmark_block
+    add_Hb), block-sparse form: unique-pair blocks via segment-sum
+    (used for sharded meshes, where GSPMD lowers the scatter to local
+    scatters + psum, and as the fallback when the dense RCS is off --
+    see sc_assemble_dense for the single-device fast path)."""
+    dtype = lins[0].Jp.dtype
+    P = pairs.num_pairs
+    H = jnp.zeros((P + 1, P9 * P9), dtype)
+    b, Hll_invs = sc_rhs_and_hll(lins, buckets, lam, num_cameras,
+                                 cam_csr=cam_csr)
+    for lin, bucket, pid, Hll_inv in zip(lins, buckets, pairs.pair_ids,
+                                         Hll_invs):
         # diagonal Jp_i' Jp_i at (c_i, c_i); SC coupling
         # -Jp_i' Jl_i Hll^-1 Jl_j' Jp_j at (c_i, c_j). Operands are
         # flattened to [*, 81]: materialized [...,9,9] buffers get
         # (8,128) minor-dim tiling on TPU (~25x memory inflation).
+        n = lin.Jp.shape[1]
         D = jnp.einsum("lnri,lnrj->lnij", lin.Jp, lin.Jp)
         T = jnp.einsum("lnrc,lnrj->lncj", lin.Jl, lin.Jp)  # [L,n,3,9]
         HT = jnp.einsum("lcd,lndj->lncj", Hll_inv, T)
         M = -jnp.einsum("lnci,lmcj->lnmij", T, HT)  # [L,n,n,9,9]
-        if pair_csr is not None:
-            eye_n = jnp.eye(n, dtype=dtype)
-            M = M + eye_n[None, :, :, None, None] * D[:, :, None]
-            pair_parts.append(M.reshape(L * n * n, P9 * P9))
-        else:
-            diag_pid_b = pid[:, jnp.arange(n), jnp.arange(n)]  # [L,n]
-            H = H + jax.ops.segment_sum(
-                D.reshape(-1, P9 * P9), diag_pid_b.reshape(-1),
-                num_segments=P + 1)
-            H = H + jax.ops.segment_sum(
-                M.reshape(-1, P9 * P9), pid.reshape(-1),
-                num_segments=P + 1)
-
-    if cam_csr is not None:
-        b = csr_cam_reduce(b_parts, cam_csr, num_cameras)
-    if pair_csr is not None:
-        # materialize the pair products before the CSR gather (see
-        # flat_assemble_rcs: prevents per-row recompute fusion)
-        Hblk = csr_pair_reduce(
-            jax.lax.optimization_barrier(
-                jnp.concatenate(pair_parts, axis=0)), pair_csr)
-        H = jnp.concatenate(
-            [Hblk, jnp.zeros((1, P9 * P9), dtype)], axis=0)
+        diag_pid_b = pid[:, jnp.arange(n), jnp.arange(n)]  # [L,n]
+        H = H + jax.ops.segment_sum(
+            D.reshape(-1, P9 * P9), diag_pid_b.reshape(-1),
+            num_segments=P + 1)
+        H = H + jax.ops.segment_sum(
+            M.reshape(-1, P9 * P9), pid.reshape(-1),
+            num_segments=P + 1)
 
     # pose damping on the diagonal blocks (linearization_sc.hpp:317-320)
     eye9 = jnp.eye(P9, dtype=dtype).reshape(P9 * P9)
@@ -213,6 +203,39 @@ def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras,
                          (num_cameras, P9 * P9)))
     return SCStage2(H=H[:P].reshape(P, P9, P9), b=b,
                     Hll_inv=tuple(Hll_invs), lam=jnp.asarray(lam, dtype))
+
+
+def sc_assemble_dense(lins, buckets, pair_csr, cam_flat, cam_csr, lam,
+                      num_cameras):
+    """Dense-RCS SC assembly on the strict-pair CSR (see
+    linearization.assemble_rcs_dense): pair block (c_i, c_j) =
+    -T_i' Hll^-1 T_j with T = Jl'Jp factored as the two per-obs strips
+    (Hll^-1 T, T). Returns (H_dense, diag_blocks, b, Hll_invs)."""
+    from rootba_tpu.solver.linearization import assemble_rcs_dense
+
+    b, Hll_invs = sc_rhs_and_hll(lins, buckets, lam, num_cameras,
+                                 cam_csr=cam_csr)
+
+    T_parts, HT_parts, dcon_parts = [], [], []
+    for lin, Hll_inv in zip(lins, Hll_invs):
+        L, n = lin.Jp.shape[0], lin.Jp.shape[1]
+        # T[l,n,c,j] = sum_r Jl[l,n,r,c] Jp[l,n,r,j] (VPU mult-sum;
+        # see csr_pair_outer on why not einsum-dots)
+        T = jnp.sum(lin.Jl[..., :, None] * lin.Jp[..., None, :], axis=2)
+        HT = jnp.sum(Hll_inv[:, None, :, :, None] * T[:, :, None, :, :],
+                     axis=3)  # [L,n,3,9]
+        D = jnp.sum(lin.Jp[..., :, None] * lin.Jp[..., None, :], axis=2)
+        dcon = D - jnp.sum(HT[..., :, None] * T[..., None, :], axis=2)
+        T_parts.append(T.reshape(L * n, 3, P9))
+        HT_parts.append(HT.reshape(L * n, 3, P9))
+        dcon_parts.append(dcon.reshape(L * n, P9 * P9))
+
+    T_flat = jnp.concatenate(T_parts, axis=0)
+    HT_flat = jnp.concatenate(HT_parts, axis=0)
+    dcon = jnp.concatenate(dcon_parts, axis=0)
+    Hd, diag = assemble_rcs_dense(HT_flat, T_flat, dcon, cam_flat,
+                                  cam_csr, pair_csr, lam, num_cameras)
+    return Hd, diag, b, Hll_invs
 
 
 def sc_matvec(stage2: SCStage2, pairs: PairStructure, num_cameras, x):
@@ -360,19 +383,22 @@ class SCLinearizer(LinearizerBase):
         opts = self.options
         self.dense_rcs = (self.mesh is None and 0 < self.num_cameras
                           <= opts.dense_rcs_max_cameras)
-        self.pairs = build_pair_structure(self.bp, self.num_cameras,
-                                          dense=self.dense_rcs)
         self.pair_csr = None
-        if self.mesh is None:
+        if self.dense_rcs:
             from rootba_tpu.bal.bucketing import build_pair_csr
             from rootba_tpu.solver.linearization import PairCsrIndex
 
+            self.pairs = None
             self.pair_csr = PairCsrIndex.from_host(
                 build_pair_csr(self.bp.buckets, self.num_cameras))
+        else:
+            self.pairs = build_pair_structure(self.bp, self.num_cameras)
+        cam_flat = jnp.concatenate(
+            [b.cam_idx.reshape(-1) for b in self.buckets])
         # buckets + RCS sparsity structure + camera-CSR as runtime args
         # (see LinearizerBase.consts: avoids giant embedded HLO constants)
         self.consts = (self.buckets, self.pairs, self.cam_csr,
-                       self.pair_csr)
+                       self.pair_csr, cam_flat)
         precond_type = opts.preconditioner_type
         if precond_type not in (PreconditionerType.SCHUR_JACOBI,
                                 PreconditionerType.POWER_SCHUR_COMPLEMENT):
@@ -391,23 +417,31 @@ class SCLinearizer(LinearizerBase):
                                        csr=consts[2])
 
         def solve_fn(consts, lins, lam):
-            buckets, pairs, csr, pair_csr = consts
-            stage2 = sc_assemble(lins, buckets, pairs, lam,
-                                 self.num_cameras, pair_csr=pair_csr,
-                                 cam_csr=csr)
-
+            buckets, pairs, csr, pair_csr, cam_flat = consts
+            dtype = lins[0].Jp.dtype
             if self.dense_rcs:
-                H_dense = sc_densify(stage2, pairs, self.num_cameras)
+                H_dense, diag, b, Hll_invs = sc_assemble_dense(
+                    lins, buckets, pair_csr, cam_flat, csr, lam,
+                    self.num_cameras)
+                stage2 = SCStage2(
+                    H=jnp.zeros((0, P9, P9), dtype), b=b,
+                    Hll_inv=Hll_invs, lam=jnp.asarray(lam, dtype))
 
                 def matvec(x):
                     return sc_matvec_dense(H_dense, x)
             else:
+                stage2 = sc_assemble(lins, buckets, pairs, lam,
+                                     self.num_cameras, cam_csr=csr)
+                diag = None
+
                 def matvec(x):
                     return sc_matvec(stage2, pairs, self.num_cameras, x)
 
             if precond_type == PreconditionerType.SCHUR_JACOBI:
-                chol = jnp.linalg.cholesky(
-                    sc_diag_blocks(stage2, pairs, self.num_cameras))
+                if diag is None:
+                    diag = sc_diag_blocks(stage2, pairs,
+                                          self.num_cameras)
+                chol = jnp.linalg.cholesky(diag)
 
                 def precond(r):
                     return precond_apply(chol, r)

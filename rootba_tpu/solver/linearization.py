@@ -81,12 +81,13 @@ def csr_cam_reduce(contribs, csr: CamCsrIndex,
 class PairCsrIndex(NamedTuple):
     """Device copy of bucketing.PairCsr (see its docstring)."""
 
-    idx: jnp.ndarray  # [R, width] int32
-    idx2: jnp.ndarray  # [P, vmax] int32
+    wi_idx: jnp.ndarray  # [R, width] int32 (pad = O)
+    wj_idx: jnp.ndarray  # [R, width] int32 (pad = O)
+    idx2: jnp.ndarray  # [P, vmax] int32 (pad = R)
     pair_row: jnp.ndarray  # [P] int32
     pair_col: jnp.ndarray  # [P] int32
-    dense_idx: jnp.ndarray  # [N*N] int32
-    diag_pid: jnp.ndarray  # [N] int32
+    up_idx: jnp.ndarray  # [N*N] int32
+    lo_idx: jnp.ndarray  # [N*N] int32
 
     @property
     def num_pairs(self) -> int:
@@ -95,25 +96,96 @@ class PairCsrIndex(NamedTuple):
     @staticmethod
     def from_host(pcsr) -> "PairCsrIndex":
         return PairCsrIndex(
-            idx=jnp.asarray(pcsr.idx), idx2=jnp.asarray(pcsr.idx2),
+            wi_idx=jnp.asarray(pcsr.wi_idx),
+            wj_idx=jnp.asarray(pcsr.wj_idx),
+            idx2=jnp.asarray(pcsr.idx2),
             pair_row=jnp.asarray(pcsr.pair_row),
             pair_col=jnp.asarray(pcsr.pair_col),
-            dense_idx=jnp.asarray(pcsr.dense_idx),
-            diag_pid=jnp.asarray(pcsr.diag_pid))
+            up_idx=jnp.asarray(pcsr.up_idx),
+            lo_idx=jnp.asarray(pcsr.lo_idx))
 
 
-def csr_pair_reduce(flat: jnp.ndarray, pairs: PairCsrIndex) -> jnp.ndarray:
-    """Per-unique-pair sum of flat [total_pair_slots, F] contribution
-    rows (in bucket pair-slot order) -> [P, F]. Same gather-reduce
-    scheme as csr_cam_reduce; replaces the segment-sum scatter of RCS
-    assembly (the reference's num_cams^2 mutex array,
-    sc/linearization_sc.hpp:327-348), ~10x faster on TPU."""
-    F = flat.shape[1]
-    flat = jnp.concatenate([flat, jnp.zeros((1, F), flat.dtype)], axis=0)
-    rsum = jnp.sum(flat[pairs.idx], axis=1)  # [R, F]
+def csr_pair_outer(strip_a: jnp.ndarray, strip_b: jnp.ndarray,
+                   pairs: PairCsrIndex) -> jnp.ndarray:
+    """Per-unique-camera-pair sum of per-observation-pair block
+    products, as two row gathers + elementwise products + clean
+    reductions (no scatter, no [L,n,n,...] pair tensors):
+
+        out[p, a*9+b] = sum over obs pairs (i, j) of camera pair p of
+                        sum_k strip_a[i, k, a] * strip_b[j, k, b]
+
+    strips are per-obs [O, K, 9] factors: the sqrt solver passes
+    (W, W) with W = Q1h'Jp, the SC solver (Hll^-1 T, T) with
+    T = Jl'Jp (the middle matrix must be symmetric for the canonical
+    pair swap to be valid). Products are formed on the VPU in f32 --
+    einsum-style dots would route these tiny contractions through the
+    MXU at bf16 default precision with double layout-copy passes
+    (benchmarks/profile_solve.py).
+
+    Replaces the reference's num_cams^2 mutex scatter for RCS assembly
+    (sc/linearization_sc.hpp:327-348).
+    """
+    O, K, _ = strip_a.shape
+    fa = jnp.concatenate(
+        [strip_a.reshape(O, K * 9),
+         jnp.zeros((1, K * 9), strip_a.dtype)], axis=0)
+    fb = jnp.concatenate(
+        [strip_b.reshape(O, K * 9),
+         jnp.zeros((1, K * 9), strip_b.dtype)], axis=0)
+    R, W = pairs.wi_idx.shape
+    si = fa[pairs.wi_idx.reshape(-1)].reshape(R * W, K, 9)
+    sj = fb[pairs.wj_idx.reshape(-1)].reshape(R * W, K, 9)
+    prod = jnp.sum(si[:, :, :, None] * sj[:, :, None, :], axis=1)
+    rsum = jnp.sum(prod.reshape(R, W, 81), axis=1)  # [R, 81]
     rsum = jnp.concatenate(
-        [rsum, jnp.zeros((1, F), rsum.dtype)], axis=0)
-    return jnp.sum(rsum[pairs.idx2], axis=1)  # [P, F]
+        [rsum, jnp.zeros((1, 81), rsum.dtype)], axis=0)
+    return jnp.sum(rsum[pairs.idx2], axis=1)  # [P, 81]
+
+
+def assemble_rcs_dense(strip_a, strip_b, diag_contrib, cam_flat, csr,
+                       pairs: PairCsrIndex, lam, num_cameras):
+    """Dense [9N, 9N] reduced camera system from per-obs factors:
+
+        H = sum_cam diag_contrib  on the block diagonal
+            - strip_a_i' strip_b_j  at off-diagonal camera pairs
+            + lam I
+
+    (upper camera triangle assembled once via csr_pair_outer, lower
+    mirrored by block transpose). Returns (H_dense, diag_blocks) with
+    diag_blocks = the per-camera [N,9,9] diagonal (the SCHUR_JACOBI
+    preconditioner, free).
+
+    TPU replacement for both the reference's implicit QR operator
+    (linearization_qr.hpp:823-825) and the block-sparse SC hash map
+    (cg/block_sparse_matrix.hpp:150-310): one assembly per stage2 buys
+    gather-free HBM/MXU GEMV CG iterations.
+    """
+    P9_ = POSE_SIZE
+    dtype = strip_a.dtype
+    N = num_cameras
+    lam = lam.astype(dtype)
+
+    Hup = csr_pair_outer(strip_a, strip_b, pairs)  # [P, 81]
+
+    if csr is not None:
+        diag81 = csr_cam_reduce([diag_contrib], csr, N)
+    else:
+        diag81 = jax.ops.segment_sum(diag_contrib, cam_flat,
+                                     num_segments=N)
+
+    zero = jnp.zeros((1, P9_ * P9_), dtype)
+    up = jnp.concatenate([-Hup, zero], axis=0)
+    Hup_t = Hup.reshape(-1, P9_, P9_).transpose(0, 2, 1).reshape(-1, 81)
+    lo = jnp.concatenate([-Hup_t, zero], axis=0)
+    dense81 = up[pairs.up_idx] + lo[pairs.lo_idx]  # [N*N, 81]
+    diag_ids = jnp.arange(N, dtype=jnp.int32) * (N + 1)
+    dense81 = dense81.at[diag_ids].add(diag81)
+    Hd = dense81.reshape(N, N, P9_, P9_)
+    Hd = Hd.transpose(0, 2, 1, 3).reshape(N * P9_, N * P9_)
+    Hd = Hd + lam * jnp.eye(N * P9_, dtype=dtype)
+
+    diag = diag81.reshape(N, P9_, P9_) + lam * jnp.eye(P9_, dtype=dtype)
+    return Hd, diag
 
 
 def packed_cam_table(cams: CamState) -> jnp.ndarray:

@@ -197,11 +197,11 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
     Q1h = jax.lax.optimization_barrier(Q1h)
 
     # RHS: Jp^T (r - Q1h Q1h^T r)
-    p = jnp.einsum("orc,or->oc", Q1h, lin.r)
+    p = jnp.sum(Q1h * lin.r[:, :, None], axis=1)
     t3 = _per_landmark_broadcast(
         _per_landmark_sum(p, buckets, offs), buckets)
-    wp = lin.r - jnp.einsum("orc,oc->or", Q1h, t3)
-    yb = jnp.einsum("orj,or->oj", lin.Jp, wp)
+    wp = lin.r - jnp.sum(Q1h * t3[:, None, :], axis=2)
+    yb = jnp.sum(lin.Jp * wp[:, :, None], axis=1)
     if csr is not None:
         b = csr_cam_reduce([yb], csr, num_cameras)
     else:
@@ -240,8 +240,8 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
                       lam=jnp.asarray(lam, dtype))
 
 
-def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
-                      num_cameras):
+def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, cam_flat, pairs,
+                      num_cameras, csr=None):
     """Assemble the explicit reduced camera system of the sqrt solver,
 
         H = Jp'Jp - (Q1'Jp)'(Q1'Jp) + lam I = (Q2'Jp)'(Q2'Jp) + lam I,
@@ -258,44 +258,25 @@ def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
     implicit product is two O-sized row gathers (~5 ns/row,
     benchmarks/micro_perm.py) while a dense GEMV on the assembled H
     runs at HBM bandwidth -- 47x faster per iteration at trafalgar
-    scale (benchmarks/stage2_break.py), paying one pair-CSR
-    gather-reduce per stage2.
+    scale (benchmarks/stage2_break.py), paying one strict-upper
+    pair-CSR gather-reduce per stage2 (csr_pair_outer; diagonal
+    blocks reduce per camera).
+
+    All products are explicit VPU mult-sums: einsum dots over these
+    tiny contraction axes would hit the MXU at bf16 default precision
+    and pay double layout-copy passes (benchmarks/profile_solve.py).
     """
-    dtype = lin.Jp.dtype
-    offs = _bucket_offsets(buckets)
-    N = num_cameras
-    dump = jnp.zeros((1, P9 * P9), dtype)
+    from rootba_tpu.solver.linearization import assemble_rcs_dense
 
-    parts = []
-    for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
-        L, n = bucket.cam_idx.shape
-        Jp = lin.Jp[a:b_].reshape(L, n, 2, P9)
-        Q1b = stage2.Q1h[a:b_].reshape(L, n, 2, 3)
-        W = jnp.einsum("lnrc,lnrj->lncj", Q1b, Jp)  # [L,n,3,9]
-        M = -jnp.einsum("lnci,lmcj->lnmij", W, W)  # [L,n,n,9,9]
-        D = jnp.einsum("lnri,lnrj->lnij", Jp, Jp)
-        eye_n = jnp.eye(n, dtype=dtype)
-        M = M + eye_n[None, :, :, None, None] * D[:, :, None]
-        parts.append(M.reshape(L * n * n, P9 * P9))
-
-    # materialize the pair products once: the CSR gather would otherwise
-    # pull the producing einsums into its fusion and recompute them per
-    # gathered row (~2x assembly cost measured)
-    flat = jax.lax.optimization_barrier(jnp.concatenate(parts, axis=0))
-    from rootba_tpu.solver.linearization import csr_pair_reduce
-
-    Hblk = csr_pair_reduce(flat, pairs)  # [P, 81]
-
-    # densify (absent camera pairs -> zero block) + pose damping
-    Hp = jnp.concatenate([Hblk, dump], axis=0)
-    Hd = Hp[pairs.dense_idx].reshape(N, N, P9, P9)
-    Hd = Hd.transpose(0, 2, 1, 3).reshape(N * P9, N * P9)
-    lam = stage2.lam.astype(dtype)
-    Hd = Hd + lam * jnp.eye(N * P9, dtype=dtype)
-
-    diag = Hp[pairs.diag_pid].reshape(N, P9, P9)
-    diag = diag + lam * jnp.eye(P9, dtype=dtype)
-    return Hd, diag
+    # W[o,c,a] = sum_r Q1h[o,r,c] Jp[o,r,a]  -- [O,3,9]
+    W = jnp.sum(stage2.Q1h[:, :, :, None] * lin.Jp[:, :, None, :],
+                axis=1)
+    # per-camera diagonal contribution: Jp_i'Jp_i - W_i'W_i
+    D = jnp.sum(lin.Jp[:, :, :, None] * lin.Jp[:, :, None, :], axis=1)
+    dcon = D - jnp.sum(W[:, :, :, None] * W[:, :, None, :], axis=1)
+    return assemble_rcs_dense(W, W, dcon.reshape(-1, P9 * P9),
+                              cam_flat, csr, pairs, stage2.lam,
+                              num_cameras)
 
 
 def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,
@@ -304,12 +285,12 @@ def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,
     linearization_qr.hpp:823-825)."""
     offs = _bucket_offsets(buckets)
     xg = x[cam_flat]  # [O,9]
-    w = jnp.einsum("orj,oj->or", lin.Jp, xg)
-    p = jnp.einsum("orc,or->oc", stage2.Q1h, w)
+    w = jnp.sum(lin.Jp * xg[:, None, :], axis=2)
+    p = jnp.sum(stage2.Q1h * w[:, :, None], axis=1)
     t3 = _per_landmark_broadcast(
         _per_landmark_sum(p, buckets, offs), buckets)
-    wp = w - jnp.einsum("orc,oc->or", stage2.Q1h, t3)
-    yb = jnp.einsum("orj,or->oj", lin.Jp, wp)
+    wp = w - jnp.sum(stage2.Q1h * t3[:, None, :], axis=2)
+    yb = jnp.sum(lin.Jp * wp[:, :, None], axis=1)
     if csr is not None:
         red = csr_cam_reduce([yb], csr, num_cameras)
     else:
@@ -323,9 +304,9 @@ def flat_back_substitute(lin: FlatLin, stage2: FlatStage2, buckets,
     (landmark_block_base.ipp:213-284)."""
     offs = _bucket_offsets(buckets)
     xg = pose_inc[cam_flat]
-    w = jnp.einsum("orj,oj->or", lin.Jp, xg)
+    w = jnp.sum(lin.Jp * xg[:, None, :], axis=2)
     u = lin.r + w
-    p = jnp.einsum("orc,or->oc", stage2.Q1h, u)
+    p = jnp.sum(stage2.Q1h * u[:, :, None], axis=1)
     rhs3 = _per_landmark_sum(p, buckets, offs)
 
     dls = []
@@ -338,7 +319,7 @@ def flat_back_substitute(lin: FlatLin, stage2: FlatStage2, buckets,
         new_lm_ps.append(lm_p + (dl_s * scale).astype(lm_p.dtype))
 
     dl_flat = _per_landmark_broadcast(dls, buckets)
-    v = w + jnp.einsum("orc,oc->or", lin.Jl, dl_flat)
+    v = w + jnp.sum(lin.Jl * dl_flat[:, None, :], axis=2)
     l_diff = -jnp.sum(
         (v * (0.5 * v + lin.r)).astype(
             jnp.result_type(pose_inc.dtype, jnp.float32)))
@@ -414,8 +395,8 @@ class FlatSqrtLinearizer(LinearizerBase):
                     lins, buckets, cam_flat, lam, N,
                     precond_jacobi=precond_jacobi, csr=csr,
                     with_precond=precond_jacobi)
-                Hd, diag = flat_assemble_rcs(lins, stage2, buckets,
-                                             pairs, N)
+                Hd, diag = flat_assemble_rcs(lins, stage2, cam_flat,
+                                             pairs, N, csr=csr)
                 if not precond_jacobi:
                     chol = jnp.linalg.cholesky(diag)
                     stage2 = stage2._replace(precond_chol=chol)
