@@ -68,11 +68,23 @@ def csr_cam_reduce(contribs, csr: CamCsrIndex,
     their traffic while static gathers + dense reductions run near
     memory bandwidth.
     """
-    flat = jnp.concatenate(contribs, axis=0)
+    flat = contribs[0] if len(contribs) == 1 else jnp.concatenate(
+        contribs, axis=0)
     F = flat.shape[1]
-    flat = jnp.concatenate(
-        [flat, jnp.zeros((1, F), flat.dtype)], axis=0)
-    rsum = jnp.sum(flat[csr.idx], axis=1)  # [R, F]
+    R, W = csr.idx.shape
+    # row-chunked gather-reduce; fill-mode take (pad index ==
+    # total_slots) avoids copying the whole contribution array just to
+    # append a zero dump row, chunking bounds the transient gather
+    # output (~2 GB unchunked for 81-wide rows at venice scale)
+    chunk = max(1, min(R, (512 << 10) // max(W, 1)))
+    rsums = []
+    for r0 in range(0, R, chunk):
+        ix = jax.lax.slice_in_dim(csr.idx, r0, min(r0 + chunk, R),
+                                  axis=0)
+        g = jnp.take(flat, ix.reshape(-1), axis=0, mode="fill",
+                     fill_value=0.0)
+        rsums.append(jnp.sum(g.reshape(ix.shape[0], W, F), axis=1))
+    rsum = rsums[0] if len(rsums) == 1 else jnp.concatenate(rsums)
     rsum = jnp.concatenate(
         [rsum, jnp.zeros((1, F), rsum.dtype)], axis=0)
     return jnp.sum(rsum[csr.idx2], axis=1)  # [N, F]
@@ -126,20 +138,49 @@ def csr_pair_outer(strip_a: jnp.ndarray, strip_b: jnp.ndarray,
     (sc/linearization_sc.hpp:327-348).
     """
     O, K, _ = strip_a.shape
-    fa = jnp.concatenate(
-        [strip_a.reshape(O, K * 9),
-         jnp.zeros((1, K * 9), strip_a.dtype)], axis=0)
-    fb = jnp.concatenate(
-        [strip_b.reshape(O, K * 9),
-         jnp.zeros((1, K * 9), strip_b.dtype)], axis=0)
     R, W = pairs.wi_idx.shape
-    si = fa[pairs.wi_idx.reshape(-1)].reshape(R * W, K, 9)
-    sj = fb[pairs.wj_idx.reshape(-1)].reshape(R * W, K, 9)
-    prod = jnp.sum(si[:, :, :, None] * sj[:, :, None, :], axis=1)
-    rsum = jnp.sum(prod.reshape(R, W, 81), axis=1)  # [R, 81]
+    fa = strip_a.reshape(O, K * 9)
+    fb = strip_b.reshape(O, K * 9)
+
+    # process the level-1 reduce in row chunks: the gathered sides +
+    # products are transient [chunk*W, 81] buffers (~5 GB unchunked at
+    # venice scale, OOM on a 16 GB chip)
+    chunk = max(1, min(R, (512 << 10) // max(W, 1)))
+    rsums = []
+    for r0 in range(0, R, chunk):
+        wi = jax.lax.slice_in_dim(pairs.wi_idx, r0,
+                                  min(r0 + chunk, R), axis=0)
+        wj = jax.lax.slice_in_dim(pairs.wj_idx, r0,
+                                  min(r0 + chunk, R), axis=0)
+        rc = wi.shape[0]
+        # gather with fill (sentinel index == O): cheaper than
+        # concatenating a zero dump row (copies the whole strip)
+        si = jnp.take(fa, wi.reshape(-1), axis=0, mode="fill",
+                      fill_value=0.0)
+        sj = jnp.take(fb, wj.reshape(-1), axis=0, mode="fill",
+                      fill_value=0.0)
+        # block product in flat 2-D form: out col a*9+b =
+        # sum_c si[:,c*9+a] * sj[:,c*9+b]. repeat/tile keeps everything
+        # {1,0}-laid-out [*,81] rows; a [*,K,9,9] formulation triggers a
+        # full relayout copy pass before the run reduction
+        # (benchmarks/profile_solve.py)
+        A = jnp.repeat(si.reshape(-1, K, 9), 9, axis=2)  # [rcW,K,81]
+        B = jnp.tile(sj.reshape(-1, K, 9), (1, 1, 9))
+        prod = jnp.sum(A * B, axis=1)  # [rcW, 81]
+        rsums.append(jnp.sum(prod.reshape(rc, W, 81), axis=1))
+    rsum = rsums[0] if len(rsums) == 1 else jnp.concatenate(rsums)
     rsum = jnp.concatenate(
         [rsum, jnp.zeros((1, 81), rsum.dtype)], axis=0)
     return jnp.sum(rsum[pairs.idx2], axis=1)  # [P, 81]
+
+
+def gram81_flat(M: jnp.ndarray) -> jnp.ndarray:
+    """Per-row Gram blocks M_o' M_o as flat [O, 81] rows
+    (out col a*9+b = sum_r M[o,r,a] M[o,r,b]); the repeat/tile form
+    avoids the [O,9,9] relayout pass (see csr_pair_outer)."""
+    A = jnp.repeat(M, 9, axis=2)
+    B = jnp.tile(M, (1, 1, 9))
+    return jnp.sum(A * B, axis=1)
 
 
 def assemble_rcs_dense(strip_a, strip_b, diag_contrib, cam_flat, csr,

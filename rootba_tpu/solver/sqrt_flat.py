@@ -266,17 +266,19 @@ def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, cam_flat, pairs,
     tiny contraction axes would hit the MXU at bf16 default precision
     and pay double layout-copy passes (benchmarks/profile_solve.py).
     """
-    from rootba_tpu.solver.linearization import assemble_rcs_dense
+    from rootba_tpu.solver.linearization import (
+        assemble_rcs_dense,
+        gram81_flat,
+    )
 
     # W[o,c,a] = sum_r Q1h[o,r,c] Jp[o,r,a]  -- [O,3,9]
     W = jnp.sum(stage2.Q1h[:, :, :, None] * lin.Jp[:, :, None, :],
                 axis=1)
-    # per-camera diagonal contribution: Jp_i'Jp_i - W_i'W_i
-    D = jnp.sum(lin.Jp[:, :, :, None] * lin.Jp[:, :, None, :], axis=1)
-    dcon = D - jnp.sum(W[:, :, :, None] * W[:, :, None, :], axis=1)
-    return assemble_rcs_dense(W, W, dcon.reshape(-1, P9 * P9),
-                              cam_flat, csr, pairs, stage2.lam,
-                              num_cameras)
+    # per-camera diagonal contribution: Jp_i'Jp_i - W_i'W_i, formed
+    # directly as [O,81] rows (see csr_pair_outer on layouts)
+    dcon = gram81_flat(lin.Jp) - gram81_flat(W)
+    return assemble_rcs_dense(W, W, dcon, cam_flat, csr, pairs,
+                              stage2.lam, num_cameras)
 
 
 def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,

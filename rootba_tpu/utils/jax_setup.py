@@ -16,17 +16,36 @@ def sync(tree):
     is used for all timing and host-side control-flow decisions.
     """
     import jax
-    import jax.numpy as jnp
 
     leaves = [x for x in jax.tree_util.tree_leaves(tree)
               if hasattr(x, "dtype")]
     if leaves:
-        acc = jnp.zeros((), jnp.float32)
-        for leaf in leaves:
-            v = leaf.ravel()[0] if leaf.size else jnp.zeros((), leaf.dtype)
-            acc = acc + v.astype(jnp.float32) * 0.0
-        jax.device_get(acc)
+        jax.device_get(_probe_scalar(tuple(leaves)))
     return tree
+
+
+def _probe_scalar(leaves):
+    """One jitted dispatch producing a 0-d f32 that data-depends on
+    every leaf (first element each; no ravel copies). jit caches per
+    leaf-shape structure."""
+    global _probe_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _probe_jit is None:
+        def probe(ls):
+            acc = jnp.zeros((), jnp.float32)
+            for leaf in ls:
+                if leaf.size:
+                    v = jax.lax.slice(
+                        leaf.reshape(-1), (0,), (1,))[0]
+                    acc = acc + v.astype(jnp.float32) * 0.0
+            return acc
+        _probe_jit = jax.jit(probe)
+    return _probe_jit(leaves)
+
+
+_probe_jit = None
 
 
 def enable_compilation_cache(path: str | None = None):
