@@ -22,6 +22,7 @@ import time
 from typing import NamedTuple, Tuple
 
 import jax
+from rootba_tpu.ops.block9 import chol9, chol9_solve
 from rootba_tpu.utils.jax_setup import sync
 import jax.numpy as jnp
 import numpy as np
@@ -216,7 +217,7 @@ def sc_assemble_dense(lins, buckets, pair_csr, cam_flat, cam_csr, lam,
     b, Hll_invs = sc_rhs_and_hll(lins, buckets, lam, num_cameras,
                                  cam_csr=cam_csr)
 
-    T_parts, HT_parts, dcon_parts = [], [], []
+    T_parts, HT_parts, Jp_parts = [], [], []
     for lin, Hll_inv in zip(lins, Hll_invs):
         L, n = lin.Jp.shape[0], lin.Jp.shape[1]
         # T[l,n,c,j] = sum_r Jl[l,n,r,c] Jp[l,n,r,j] (VPU mult-sum;
@@ -224,17 +225,19 @@ def sc_assemble_dense(lins, buckets, pair_csr, cam_flat, cam_csr, lam,
         T = jnp.sum(lin.Jl[..., :, None] * lin.Jp[..., None, :], axis=2)
         HT = jnp.sum(Hll_inv[:, None, :, :, None] * T[:, :, None, :, :],
                      axis=3)  # [L,n,3,9]
-        D = jnp.sum(lin.Jp[..., :, None] * lin.Jp[..., None, :], axis=2)
-        dcon = D - jnp.sum(HT[..., :, None] * T[..., None, :], axis=2)
         T_parts.append(T.reshape(L * n, 3, P9))
         HT_parts.append(HT.reshape(L * n, 3, P9))
-        dcon_parts.append(dcon.reshape(L * n, P9 * P9))
+        Jp_parts.append(lin.Jp.reshape(L * n, 2, P9))
 
     T_flat = jnp.concatenate(T_parts, axis=0)
     HT_flat = jnp.concatenate(HT_parts, axis=0)
-    dcon = jnp.concatenate(dcon_parts, axis=0)
-    Hd, diag = assemble_rcs_dense(HT_flat, T_flat, dcon, cam_flat,
-                                  cam_csr, pair_csr, lam, num_cameras)
+    Jp_flat = jnp.concatenate(Jp_parts, axis=0)
+    # diagonal: Jp_i'Jp_i - (Hll^-1 T)_i' T_i per camera, computed
+    # inside the gather-reduce (no [O,81] materialization)
+    Hd, diag = assemble_rcs_dense(
+        HT_flat, T_flat,
+        [(Jp_flat, Jp_flat, 1.0), (HT_flat, T_flat, -1.0)],
+        cam_flat, cam_csr, pair_csr, lam, num_cameras)
     return Hd, diag, b, Hll_invs
 
 
@@ -264,7 +267,12 @@ def sc_densify(stage2: SCStage2, pairs: PairStructure,
 
 
 def sc_matvec_dense(H_dense: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    return (H_dense @ x.reshape(-1)).reshape(x.shape)
+    # HIGHEST precision: the default routes the f32 GEMV through the
+    # MXU as a single bf16 pass (~3-digit operator accuracy costs CG
+    # iterations); the multi-pass f32 GEMV is HBM-bound all the same
+    y = jnp.dot(H_dense, x.reshape(-1),
+                precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(x.shape)
 
 
 def sc_diag_blocks(stage2: SCStage2, pairs: PairStructure, num_cameras):
@@ -441,7 +449,7 @@ class SCLinearizer(LinearizerBase):
                 if diag is None:
                     diag = sc_diag_blocks(stage2, pairs,
                                           self.num_cameras)
-                chol = jnp.linalg.cholesky(diag)
+                chol = chol9(diag)
 
                 def precond(r):
                     return precond_apply(chol, r)
@@ -450,7 +458,7 @@ class SCLinearizer(LinearizerBase):
                                            self.num_cameras)
                 # SPD -> Cholesky solves (reference uses llt().solve(I),
                 # preconditioner.hpp:169-174; solves are equivalent)
-                hpp_chol = jnp.linalg.cholesky(jacobi)
+                hpp_chol = chol9(jacobi)
 
                 def apply_hpp_inv(v):
                     return precond_apply(hpp_chol, v)
@@ -588,7 +596,7 @@ class PowerSCLinearizer(SCLinearizer):
                                     self.num_cameras)
             # SPD -> Cholesky solves (reference llt(),
             # sc/linearization_power_sc.hpp:111-124)
-            hpp_chol = jnp.linalg.cholesky(hpp)
+            hpp_chol = chol9(hpp)
 
             def apply_hpp_inv(v):
                 return precond_apply(hpp_chol, v)

@@ -72,21 +72,28 @@ def csr_cam_reduce(contribs, csr: CamCsrIndex,
         contribs, axis=0)
     F = flat.shape[1]
     R, W = csr.idx.shape
-    # row-chunked gather-reduce; fill-mode take (pad index ==
-    # total_slots) avoids copying the whole contribution array just to
-    # append a zero dump row, chunking bounds the transient gather
-    # output (~2 GB unchunked for 81-wide rows at venice scale)
+    O = flat.shape[0]
+    # row-chunked gather-reduce under lax.map (one chunk's transients
+    # live at a time); fill-mode take (pad index == total_slots) avoids
+    # copying the whole contribution array to append a zero dump row
     chunk = max(1, min(R, (512 << 10) // max(W, 1)))
-    rsums = []
-    for r0 in range(0, R, chunk):
-        ix = jax.lax.slice_in_dim(csr.idx, r0, min(r0 + chunk, R),
-                                  axis=0)
+    Rpad = -(-R // chunk) * chunk
+    idx = csr.idx if Rpad == R else jnp.concatenate(
+        [csr.idx, jnp.full((Rpad - R, W), O, jnp.int32)])
+
+    def chunk_sum(ix):
         g = jnp.take(flat, ix.reshape(-1), axis=0, mode="fill",
                      fill_value=0.0)
-        rsums.append(jnp.sum(g.reshape(ix.shape[0], W, F), axis=1))
-    rsum = rsums[0] if len(rsums) == 1 else jnp.concatenate(rsums)
+        return jnp.sum(g.reshape(chunk, W, F), axis=1)
+
+    nchunks = Rpad // chunk
+    if nchunks == 1:
+        rsum = chunk_sum(idx)
+    else:
+        rsum = jax.lax.map(
+            chunk_sum, idx.reshape(nchunks, chunk, W)).reshape(Rpad, F)
     rsum = jnp.concatenate(
-        [rsum, jnp.zeros((1, F), rsum.dtype)], axis=0)
+        [rsum[:R], jnp.zeros((1, F), rsum.dtype)], axis=0)
     return jnp.sum(rsum[csr.idx2], axis=1)  # [N, F]
 
 
@@ -141,36 +148,64 @@ def csr_pair_outer(strip_a: jnp.ndarray, strip_b: jnp.ndarray,
     R, W = pairs.wi_idx.shape
     fa = strip_a.reshape(O, K * 9)
     fb = strip_b.reshape(O, K * 9)
+    same = (strip_a is strip_b) and (pairs.wi_idx is pairs.wj_idx)
 
-    # process the level-1 reduce in row chunks: the gathered sides +
+    # level-1 reduce in row chunks under lax.map: the gathered sides +
     # products are transient [chunk*W, 81] buffers (~5 GB unchunked at
-    # venice scale, OOM on a 16 GB chip)
+    # venice scale; the loop primitive also guarantees only ONE chunk's
+    # transients are live -- a Python-unrolled chunk loop lets the
+    # scheduler overlap them)
     chunk = max(1, min(R, (512 << 10) // max(W, 1)))
-    rsums = []
-    for r0 in range(0, R, chunk):
-        wi = jax.lax.slice_in_dim(pairs.wi_idx, r0,
-                                  min(r0 + chunk, R), axis=0)
-        wj = jax.lax.slice_in_dim(pairs.wj_idx, r0,
-                                  min(r0 + chunk, R), axis=0)
-        rc = wi.shape[0]
+    Rpad = -(-R // chunk) * chunk
+    pad_rows = Rpad - R
+    wi = pairs.wi_idx if pad_rows == 0 else jnp.concatenate(
+        [pairs.wi_idx, jnp.full((pad_rows, W), O, jnp.int32)])
+    wj = pairs.wj_idx if pad_rows == 0 else jnp.concatenate(
+        [pairs.wj_idx, jnp.full((pad_rows, W), O, jnp.int32)])
+
+    shared_idx = pairs.wi_idx is pairs.wj_idx
+    fab = (jnp.concatenate([fa, fb], axis=1)
+           if shared_idx and not same else None)
+
+    def chunk_sum(ix):
+        wi_c, wj_c = ix
         # gather with fill (sentinel index == O): cheaper than
-        # concatenating a zero dump row (copies the whole strip)
-        si = jnp.take(fa, wi.reshape(-1), axis=0, mode="fill",
-                      fill_value=0.0)
-        sj = jnp.take(fb, wj.reshape(-1), axis=0, mode="fill",
-                      fill_value=0.0)
+        # concatenating a zero dump row (copies the whole strip).
+        # gather cost is per-index and width-free, so shared-index
+        # two-strip reductions gather the concatenated strips once
+        if same:
+            si = jnp.take(fa, wi_c.reshape(-1), axis=0, mode="fill",
+                          fill_value=0.0)
+            sj = si
+        elif shared_idx:
+            g = jnp.take(fab, wi_c.reshape(-1), axis=0, mode="fill",
+                         fill_value=0.0)
+            si, sj = g[:, :K * 9], g[:, K * 9:]
+        else:
+            si = jnp.take(fa, wi_c.reshape(-1), axis=0, mode="fill",
+                          fill_value=0.0)
+            sj = jnp.take(fb, wj_c.reshape(-1), axis=0, mode="fill",
+                          fill_value=0.0)
         # block product in flat 2-D form: out col a*9+b =
         # sum_c si[:,c*9+a] * sj[:,c*9+b]. repeat/tile keeps everything
         # {1,0}-laid-out [*,81] rows; a [*,K,9,9] formulation triggers a
         # full relayout copy pass before the run reduction
         # (benchmarks/profile_solve.py)
-        A = jnp.repeat(si.reshape(-1, K, 9), 9, axis=2)  # [rcW,K,81]
+        A = jnp.repeat(si.reshape(-1, K, 9), 9, axis=2)  # [cW,K,81]
         B = jnp.tile(sj.reshape(-1, K, 9), (1, 1, 9))
-        prod = jnp.sum(A * B, axis=1)  # [rcW, 81]
-        rsums.append(jnp.sum(prod.reshape(rc, W, 81), axis=1))
-    rsum = rsums[0] if len(rsums) == 1 else jnp.concatenate(rsums)
+        prod = jnp.sum(A * B, axis=1)  # [cW, 81]
+        return jnp.sum(prod.reshape(chunk, W, 81), axis=1)
+
+    nchunks = Rpad // chunk
+    if nchunks == 1:
+        rsum = chunk_sum((wi, wj))
+    else:
+        rsum = jax.lax.map(
+            chunk_sum,
+            (wi.reshape(nchunks, chunk, W),
+             wj.reshape(nchunks, chunk, W))).reshape(Rpad, 81)
     rsum = jnp.concatenate(
-        [rsum, jnp.zeros((1, 81), rsum.dtype)], axis=0)
+        [rsum[:R], jnp.zeros((1, 81), rsum.dtype)], axis=0)
     return jnp.sum(rsum[pairs.idx2], axis=1)  # [P, 81]
 
 
@@ -183,16 +218,34 @@ def gram81_flat(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(A * B, axis=1)
 
 
-def assemble_rcs_dense(strip_a, strip_b, diag_contrib, cam_flat, csr,
+class _SelfPairView(NamedTuple):
+    """Adapter presenting a CamCsrIndex as a pair index whose two sides
+    are the same observation (for per-camera gram reductions through
+    csr_pair_outer, which then gathers each strip row once and fuses
+    the 81-wide products into the reduce -- no [O,81] materialization)."""
+
+    wi_idx: jnp.ndarray
+    wj_idx: jnp.ndarray
+    idx2: jnp.ndarray
+
+    @staticmethod
+    def of(csr: CamCsrIndex) -> "_SelfPairView":
+        return _SelfPairView(wi_idx=csr.idx, wj_idx=csr.idx,
+                             idx2=csr.idx2)
+
+
+def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
                        pairs: PairCsrIndex, lam, num_cameras):
     """Dense [9N, 9N] reduced camera system from per-obs factors:
 
-        H = sum_cam diag_contrib  on the block diagonal
+        H = sum over a camera's obs of (sum_terms sign * A_i' B_i)
+                                                on the block diagonal
             - strip_a_i' strip_b_j  at off-diagonal camera pairs
             + lam I
 
-    (upper camera triangle assembled once via csr_pair_outer, lower
-    mirrored by block transpose). Returns (H_dense, diag_blocks) with
+    diag_terms is a list of (A [O,K,9], B [O,K,9], sign); the upper
+    camera triangle is assembled once via csr_pair_outer and the lower
+    mirrored by block transpose. Returns (H_dense, diag_blocks) with
     diag_blocks = the per-camera [N,9,9] diagonal (the SCHUR_JACOBI
     preconditioner, free).
 
@@ -209,10 +262,17 @@ def assemble_rcs_dense(strip_a, strip_b, diag_contrib, cam_flat, csr,
     Hup = csr_pair_outer(strip_a, strip_b, pairs)  # [P, 81]
 
     if csr is not None:
-        diag81 = csr_cam_reduce([diag_contrib], csr, N)
+        view = _SelfPairView.of(csr)
+        diag81 = jnp.zeros((N, P9_ * P9_), dtype)
+        for A, B, sign in diag_terms:
+            g = csr_pair_outer(A, B, view)
+            diag81 = diag81 + sign * g
     else:
-        diag81 = jax.ops.segment_sum(diag_contrib, cam_flat,
-                                     num_segments=N)
+        dcon = jnp.zeros((strip_a.shape[0], P9_ * P9_), dtype)
+        for A, B, sign in diag_terms:
+            prod = jnp.sum(A[:, :, :, None] * B[:, :, None, :], axis=1)
+            dcon = dcon + sign * prod.reshape(-1, P9_ * P9_)
+        diag81 = jax.ops.segment_sum(dcon, cam_flat, num_segments=N)
 
     zero = jnp.zeros((1, P9_ * P9_), dtype)
     up = jnp.concatenate([-Hup, zero], axis=0)

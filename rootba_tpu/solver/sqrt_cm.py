@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rootba_tpu.ops.block9 import chol9, chol9_solve
 from rootba_tpu.config.options import PreconditionerType, SolverOptions
 from rootba_tpu.core import lie
 from rootba_tpu.ops import planar as pops
@@ -301,7 +302,7 @@ def cm_stage2(lin: CmLin, cm: CmIndex, width, bucket_shapes, lam,
     blocks = cm_reduce(blk, cm, num_cameras, width).reshape(
         num_cameras, P9, P9)
     blocks = blocks + lam.astype(dtype) * jnp.eye(P9, dtype=dtype)
-    chol = jnp.linalg.cholesky(blocks)
+    chol = chol9(blocks)
 
     return CmStage2(Q1h=tuple(Q1hs), R=tuple(Rs), b=b,
                     precond_chol=chol, lam=jnp.asarray(lam, dtype))

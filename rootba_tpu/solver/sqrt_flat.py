@@ -36,6 +36,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from rootba_tpu.ops.block9 import chol9, chol9_solve
 from rootba_tpu.config.options import PreconditionerType, SolverOptions
 from rootba_tpu.core import lie
 from rootba_tpu.ops.batched_qr import householder_qr3, solve_upper
@@ -234,7 +235,7 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
         blk, cam_flat, num_segments=num_cameras
     ).reshape(num_cameras, P9, P9)
     blocks = blocks + lam.astype(dtype) * jnp.eye(P9, dtype=dtype)
-    chol = jnp.linalg.cholesky(blocks)
+    chol = chol9(blocks)
 
     return FlatStage2(Q1h=Q1h, R=tuple(Rs), b=b, precond_chol=chol,
                       lam=jnp.asarray(lam, dtype))
@@ -266,19 +267,16 @@ def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, cam_flat, pairs,
     tiny contraction axes would hit the MXU at bf16 default precision
     and pay double layout-copy passes (benchmarks/profile_solve.py).
     """
-    from rootba_tpu.solver.linearization import (
-        assemble_rcs_dense,
-        gram81_flat,
-    )
+    from rootba_tpu.solver.linearization import assemble_rcs_dense
 
     # W[o,c,a] = sum_r Q1h[o,r,c] Jp[o,r,a]  -- [O,3,9]
     W = jnp.sum(stage2.Q1h[:, :, :, None] * lin.Jp[:, :, None, :],
                 axis=1)
-    # per-camera diagonal contribution: Jp_i'Jp_i - W_i'W_i, formed
-    # directly as [O,81] rows (see csr_pair_outer on layouts)
-    dcon = gram81_flat(lin.Jp) - gram81_flat(W)
-    return assemble_rcs_dense(W, W, dcon, cam_flat, csr, pairs,
-                              stage2.lam, num_cameras)
+    # per-camera diagonal contribution: Jp_i'Jp_i - W_i'W_i (computed
+    # inside the gather-reduce -- no [O,81] materialization)
+    return assemble_rcs_dense(
+        W, W, [(lin.Jp, lin.Jp, 1.0), (W, W, -1.0)], cam_flat, csr,
+        pairs, stage2.lam, num_cameras)
 
 
 def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,
@@ -400,11 +398,15 @@ class FlatSqrtLinearizer(LinearizerBase):
                 Hd, diag = flat_assemble_rcs(lins, stage2, cam_flat,
                                              pairs, N, csr=csr)
                 if not precond_jacobi:
-                    chol = jnp.linalg.cholesky(diag)
+                    chol = chol9(diag)
                     stage2 = stage2._replace(precond_chol=chol)
 
                 def matvec(x):
-                    return (Hd @ x.reshape(-1)).reshape(x.shape)
+                    from rootba_tpu.solver.explicit_sc import (
+                        sc_matvec_dense,
+                    )
+
+                    return sc_matvec_dense(Hd, x)
             else:
                 # stage2 keeps segment_sum for its 81-wide
                 # preconditioner rows (CSR gathers are slower above ~16

@@ -14,6 +14,7 @@ import time
 from typing import NamedTuple, Tuple
 
 import jax
+from rootba_tpu.ops.block9 import chol9, chol9_solve
 from rootba_tpu.utils.jax_setup import sync
 import jax.numpy as jnp
 
@@ -254,7 +255,7 @@ class PlanarSqrtLinearizer(LinearizerBase):
 
             blocks = blocks.reshape(N, P9, P9) + \
                 lam.astype(dtype) * jnp.eye(P9, dtype=dtype)
-            chol = jnp.linalg.cholesky(blocks)
+            chol = chol9(blocks)
             return PlanarStage2(Q1h=tuple(Q1hs), R=tuple(Rs), b=b_accum,
                                 precond_chol=chol,
                                 lam=jnp.asarray(lam, dtype))

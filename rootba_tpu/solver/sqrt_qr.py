@@ -36,6 +36,7 @@ from typing import NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from rootba_tpu.ops.block9 import chol9, chol9_solve
 from rootba_tpu.ops.batched_qr import householder_qr3, solve_upper
 from rootba_tpu.solver.linearization import (
     POSE_SIZE,
@@ -157,7 +158,7 @@ def sqrt_stage2(
     # damping vector and SCHUR_JACOBI's += lam, reference
     # linearizor_qr.cpp:216-232, linearization_qr.hpp:485-486)
     blocks = blocks + lam.astype(dtype) * jnp.eye(POSE_SIZE, dtype=dtype)
-    chol = jnp.linalg.cholesky(blocks)
+    chol = chol9(blocks)
 
     return SqrtStage2(Q1h=tuple(Q1hs), R=tuple(Rs), b=b, precond_chol=chol,
                       lam=jnp.asarray(lam, dtype))
@@ -197,12 +198,13 @@ def sqrt_matvec(
 
 def precond_apply(chol: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """Block-diagonal preconditioner solve via cached Cholesky factors
-    (reference BlockDiagonalPreconditioner, cg/preconditioner.hpp:72-143)."""
-    y = jax.lax.linalg.triangular_solve(
-        chol, r[..., None], left_side=True, lower=True)
-    z = jax.lax.linalg.triangular_solve(
-        chol, y, left_side=True, lower=True, transpose_a=True)
-    return z[..., 0]
+    (reference BlockDiagonalPreconditioner, cg/preconditioner.hpp:72-143).
+    Unrolled 9x9 substitution: this runs inside the PCG loop body, where
+    the library triangular_solve's looped lowering dominates the
+    iteration cost (see ops/block9)."""
+    from rootba_tpu.ops.block9 import chol9_solve
+
+    return chol9_solve(chol, r)
 
 
 def sqrt_back_substitute(
