@@ -266,13 +266,20 @@ def sc_densify(stage2: SCStage2, pairs: PairStructure,
     return Hd.transpose(0, 2, 1, 3).reshape(N * P9, N * P9)
 
 
-def sc_matvec_dense(H_dense: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    # HIGHEST precision: the default routes the f32 GEMV through the
-    # MXU as a single bf16 pass (~3-digit operator accuracy costs CG
-    # iterations); the multi-pass f32 GEMV is HBM-bound all the same
-    y = jnp.dot(H_dense, x.reshape(-1),
-                precision=jax.lax.Precision.HIGHEST)
-    return y.reshape(x.shape)
+def sc_matvec_dense(Hz: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """GEMV against the feature-major ("z-space") dense RCS produced by
+    assemble_rcs_dense: Hz[a*N+i, b*N+j] = block(i,j)[a,b], so x [N,9]
+    is reordered to z[a*N+i] = x[i,a] around the product (the z-space
+    layout is what keeps the densify free of ~25x tile-padded
+    [N,N,9,9] intermediates).
+
+    HIGHEST precision: the default routes the f32 GEMV through the MXU
+    as a single bf16 pass (~3-digit operator accuracy costs CG
+    iterations); the multi-pass f32 GEMV is HBM-bound all the same."""
+    N = x.shape[0]
+    z = x.T.reshape(-1)
+    y = jnp.dot(Hz, z, precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(-1, N).T
 
 
 def sc_diag_blocks(stage2: SCStage2, pairs: PairStructure, num_cameras):

@@ -23,6 +23,7 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rootba_tpu.core.projection import linearize_point
 from rootba_tpu.core.residuals import (
@@ -274,19 +275,29 @@ def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
             dcon = dcon + sign * prod.reshape(-1, P9_ * P9_)
         diag81 = jax.ops.segment_sum(dcon, cam_flat, num_segments=N)
 
+    # Everything below stays in 2-D [rows, 81] / [9N, 9N] shapes: any
+    # materialized [..., 9, 9] tensor tile-pads (8,128) on the minor
+    # dims, a ~25x memory blowup (26 GB for the [N,N,9,9] densify
+    # transpose at venice scale).
     zero = jnp.zeros((1, P9_ * P9_), dtype)
     up = jnp.concatenate([-Hup, zero], axis=0)
-    Hup_t = Hup.reshape(-1, P9_, P9_).transpose(0, 2, 1).reshape(-1, 81)
+    # block transpose as a static column permutation of [P, 81]
+    perm_t = jnp.asarray(
+        np.arange(81).reshape(P9_, P9_).T.reshape(-1), jnp.int32)
+    Hup_t = jnp.take(Hup, perm_t, axis=1)
     lo = jnp.concatenate([-Hup_t, zero], axis=0)
     dense81 = up[pairs.up_idx] + lo[pairs.lo_idx]  # [N*N, 81]
     diag_ids = jnp.arange(N, dtype=jnp.int32) * (N + 1)
     dense81 = dense81.at[diag_ids].add(diag81)
-    Hd = dense81.reshape(N, N, P9_, P9_)
-    Hd = Hd.transpose(0, 2, 1, 3).reshape(N * P9_, N * P9_)
-    Hd = Hd + lam * jnp.eye(N * P9_, dtype=dtype)
+    # feature-major ("z-space") dense matrix: Hz[a*N+i, b*N+j] =
+    # block(i,j)[a,b]. The transpose chain touches only 2-D or
+    # (N,N)-minor shapes; sc_matvec_dense reorders x accordingly.
+    Hz = dense81.T.reshape(P9_, P9_, N, N)
+    Hz = Hz.transpose(0, 2, 1, 3).reshape(N * P9_, N * P9_)
+    Hz = Hz + lam * jnp.eye(N * P9_, dtype=dtype)
 
     diag = diag81.reshape(N, P9_, P9_) + lam * jnp.eye(P9_, dtype=dtype)
-    return Hd, diag
+    return Hz, diag
 
 
 def packed_cam_table(cams: CamState) -> jnp.ndarray:
