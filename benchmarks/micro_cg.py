@@ -29,8 +29,8 @@ def main():
     enable_compilation_cache()
     rng = np.random.default_rng(0)
     n = 9 * N
-    A = rng.normal(size=(n, n)).astype(np.float32) / np.sqrt(n)
-    H = jnp.asarray(A @ A.T + 2.0 * np.eye(n, dtype=np.float32))
+    A = (rng.normal(size=(n, n)) / np.sqrt(n)).astype(np.float32)
+    H = jnp.asarray((A @ A.T + 2.0 * np.eye(n)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(N, 9)).astype(np.float32))
     chol = jnp.linalg.cholesky(
         jnp.asarray(np.stack([np.eye(9, dtype=np.float32) * 2.0] * N)))

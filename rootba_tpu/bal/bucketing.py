@@ -292,9 +292,16 @@ def _csr_rows(pos: np.ndarray, seg: np.ndarray, num_segments: int,
     return idx, idx2, rows_per_seg
 
 
-def build_pair_csr(buckets, num_cameras: int, width: int = 64) -> PairCsr:
-    """Build the canonicalized strict-pair index (see PairCsr)."""
+def build_pair_csr(buckets, num_cameras: int, width: int = 64,
+                   grid_n: int | None = None) -> PairCsr:
+    """Build the canonicalized strict-pair index (see PairCsr).
+
+    grid_n > num_cameras lays the dense block tables out on a padded
+    [grid_n, grid_n] camera grid (padded blocks stay zero) -- used by
+    the VMEM-resident CG kernel, which wants the camera axis padded to
+    a lane multiple."""
     N = num_cameras
+    G = grid_n if grid_n is not None else N
     wi_list, wj_list, code_list = [], [], []
     off = 0
     for b in buckets:
@@ -343,10 +350,10 @@ def build_pair_csr(buckets, num_cameras: int, width: int = 64) -> PairCsr:
 
     rows = (unique // N).astype(np.int64)
     cols = (unique % N).astype(np.int64)
-    up_idx = np.full(N * N, P, dtype=np.int64)
-    up_idx[rows * N + cols] = np.arange(P, dtype=np.int64)
-    lo_idx = np.full(N * N, P, dtype=np.int64)
-    lo_idx[cols * N + rows] = np.arange(P, dtype=np.int64)
+    up_idx = np.full(G * G, P, dtype=np.int64)
+    up_idx[rows * G + cols] = np.arange(P, dtype=np.int64)
+    lo_idx = np.full(G * G, P, dtype=np.int64)
+    lo_idx[cols * G + rows] = np.arange(P, dtype=np.int64)
 
     return PairCsr(
         wi_idx=wi_idx.astype(np.int32), wj_idx=wj_idx.astype(np.int32),

@@ -232,6 +232,12 @@ class SolverOptions:
                    "dense [9N, 9N] matrix when num_cameras <= this (the "
                    "PCG matvec becomes a single MXU GEMV instead of "
                    "block-gather + scatter); 0 disables")
+    pallas_cg: str = opt(
+        "auto", help="run the whole dense-RCS PCG loop as one Pallas "
+                     "kernel with the system resident in VMEM "
+                     "('auto': when the padded dense system fits "
+                     "on-chip, float32, explicit RCS mode; 'off' "
+                     "disables; 'on' forces where applicable)")
     sqrt_rcs_mode: str = opt(
         "auto", help="SQUARE_ROOT solver CG operator: 'implicit' "
                      "applies (Q2'Jp)'(Q2'Jp) matrix-free per CG "

@@ -277,9 +277,11 @@ def sc_matvec_dense(Hz: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     as a single bf16 pass (~3-digit operator accuracy costs CG
     iterations); the multi-pass f32 GEMV is HBM-bound all the same."""
     N = x.shape[0]
-    z = x.T.reshape(-1)
-    y = jnp.dot(Hz, z, precision=jax.lax.Precision.HIGHEST)
-    return y.reshape(-1, N).T
+    G = Hz.shape[0] // P9  # camera grid (possibly lane-padded)
+    z2 = jnp.zeros((P9, G), x.dtype).at[:, :N].set(x.T)
+    y = jnp.dot(Hz, z2.reshape(-1),
+                precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(P9, G)[:, :N].T
 
 
 def sc_diag_blocks(stage2: SCStage2, pairs: PairStructure, num_cameras):

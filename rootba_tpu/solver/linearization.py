@@ -286,15 +286,18 @@ def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
         np.arange(81).reshape(P9_, P9_).T.reshape(-1), jnp.int32)
     Hup_t = jnp.take(Hup, perm_t, axis=1)
     lo = jnp.concatenate([-Hup_t, zero], axis=0)
-    dense81 = up[pairs.up_idx] + lo[pairs.lo_idx]  # [N*N, 81]
-    diag_ids = jnp.arange(N, dtype=jnp.int32) * (N + 1)
+    # the dense block tables may live on a padded [G, G] camera grid
+    # (G = lane-padded camera count for the VMEM CG kernel)
+    G = int(np.sqrt(pairs.up_idx.shape[0]))
+    dense81 = up[pairs.up_idx] + lo[pairs.lo_idx]  # [G*G, 81]
+    diag_ids = jnp.arange(N, dtype=jnp.int32) * (G + 1)
     dense81 = dense81.at[diag_ids].add(diag81)
-    # feature-major ("z-space") dense matrix: Hz[a*N+i, b*N+j] =
+    # feature-major ("z-space") dense matrix: Hz[a*G+i, b*G+j] =
     # block(i,j)[a,b]. The transpose chain touches only 2-D or
-    # (N,N)-minor shapes; sc_matvec_dense reorders x accordingly.
-    Hz = dense81.T.reshape(P9_, P9_, N, N)
-    Hz = Hz.transpose(0, 2, 1, 3).reshape(N * P9_, N * P9_)
-    Hz = Hz + lam * jnp.eye(N * P9_, dtype=dtype)
+    # (G,G)-minor shapes; sc_matvec_dense reorders x accordingly.
+    Hz = dense81.T.reshape(P9_, P9_, G, G)
+    Hz = Hz.transpose(0, 2, 1, 3).reshape(G * P9_, G * P9_)
+    Hz = Hz + lam * jnp.eye(G * P9_, dtype=dtype)
 
     diag = diag81.reshape(N, P9_, P9_) + lam * jnp.eye(P9_, dtype=dtype)
     return Hz, diag

@@ -357,15 +357,24 @@ class FlatSqrtLinearizer(LinearizerBase):
         else:
             explicit = mode == "dense"
         self.explicit_rcs = explicit
+        N = self.num_cameras
+        # whole-loop VMEM CG kernel: dense system [9Nc, 9Nc] must fit
+        # on-chip next to its vectors/planes (~12 MB of 16 MB VMEM)
+        Nc = -(-N // 128) * 128
+        vmem_ok = (9 * Nc) * (9 * Nc) * 4 <= (12 << 20)
+        use_pallas = (explicit and opts.pallas_cg != "off"
+                      and self.dtype == jnp.float32
+                      and (vmem_ok or opts.pallas_cg == "on"))
+        self.pallas_cg = use_pallas
         pairs = None
         if explicit:
             from rootba_tpu.bal.bucketing import build_pair_csr
             from rootba_tpu.solver.linearization import PairCsrIndex
 
-            pairs = PairCsrIndex.from_host(
-                build_pair_csr(self.bp.buckets, self.num_cameras))
+            pairs = PairCsrIndex.from_host(build_pair_csr(
+                self.bp.buckets, N,
+                grid_n=Nc if use_pallas else None))
         self.consts = (self.buckets, self.cam_csr, cam_flat, pairs)
-        N = self.num_cameras
         use_valid = opts.use_projection_validity_check()
 
         def error_fn(consts, cams, lm_ps):
@@ -407,6 +416,22 @@ class FlatSqrtLinearizer(LinearizerBase):
                     )
 
                     return sc_matvec_dense(Hd, x)
+
+                if use_pallas:
+                    from rootba_tpu.ops.pallas_cg import pcg_dense_vmem
+
+                    res = pcg_dense_vmem(
+                        Hd, stage2.precond_chol, stage2.b,
+                        min_num_iterations=(
+                            opts.min_linear_solver_iterations),
+                        max_num_iterations=(
+                            opts.max_linear_solver_iterations),
+                        q_tolerance=float(opts.eta),
+                        r_tolerance=-1.0,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                    return (-res.x, stage2, res.num_iterations,
+                            res.termination_type)
             else:
                 # stage2 keeps segment_sum for its 81-wide
                 # preconditioner rows (CSR gathers are slower above ~16

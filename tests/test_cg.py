@@ -108,3 +108,45 @@ def test_precond_apply_matches_direct_solve():
     for i in range(5):
         np.testing.assert_allclose(blocks[i] @ z[i], r[i], rtol=1e-8,
                                    atol=1e-10)
+
+
+def test_pallas_vmem_cg_matches_pcg():
+    """The whole-loop VMEM CG kernel (interpret mode on CPU) follows
+    the reference pcg loop on the same z-space dense system."""
+    from rootba_tpu.ops.pallas_cg import pcg_dense_vmem
+
+    rng = np.random.default_rng(7)
+    N = 11
+    Nc = 128  # padded camera grid
+    M = 9 * Nc
+    n = 9 * N
+    A0 = (rng.normal(size=(n, n)) / np.sqrt(n)).astype(np.float32)
+    A = (A0 @ A0.T + 2.0 * np.eye(n)).astype(np.float32)
+    b = rng.normal(size=(N, 9)).astype(np.float32)
+    blocks = np.stack([A[9 * i:9 * i + 9, 9 * i:9 * i + 9]
+                       for i in range(N)]).astype(np.float32)
+    chol = jnp.linalg.cholesky(jnp.asarray(blocks))
+
+    # x-space [n,n] -> padded z-space [M,M]:
+    # Hz[a*Nc+i, b*Nc+j] = A[i*9+a, j*9+b]
+    Hz = np.zeros((M, M), np.float32)
+    A4 = A.reshape(N, 9, N, 9)
+    Hz4 = Hz.reshape(9, Nc, 9, Nc)
+    Hz4[:, :N, :, :N] = A4.transpose(1, 0, 3, 2)
+    Hz = Hz4.reshape(M, M)
+
+    def matvec(x):
+        return (jnp.asarray(A) @ x.reshape(-1)).reshape(N, 9)
+
+    for q_tol, max_it in ((1e-1, 100), (1e-8, 200)):
+        ref = pcg(matvec, lambda r: precond_apply(chol, r),
+                  jnp.asarray(b), max_num_iterations=max_it,
+                  q_tolerance=q_tol)
+        got = pcg_dense_vmem(
+            jnp.asarray(Hz), chol, jnp.asarray(b),
+            max_num_iterations=max_it, q_tolerance=q_tol,
+            interpret=True)
+        assert int(got.num_iterations) == int(ref.num_iterations)
+        assert int(got.termination_type) == int(ref.termination_type)
+        np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                                   rtol=2e-4, atol=2e-5)
