@@ -62,12 +62,20 @@ def main():
              if summary2.iterations else -1.0)
     cg_total = sum(it.linear_solver_iterations
                    for it in summary2.iterations)
+    # steady-state: per-iteration wall time excluding the per-call
+    # trace/cache-load overhead before iteration 1 completes
+    its = summary2.iterations
+    steady = ((its[-1].cumulative_time_in_seconds
+               - its[1].cumulative_time_in_seconds) / max(n_it - 1, 1)
+              if n_it >= 2 else elapsed / max(n_it, 1))
     print(json.dumps({
         "problem": name, "cams": nc, "lms": p.num_landmarks,
         "obs": p.num_observations, "bucketize_s": round(t_bucket, 2),
         "first_solve_s": round(t_first, 1),
         "solve_s": round(elapsed, 3),
         "lm_iters_per_s": round(n_it / elapsed, 3),
+        "steady_s_per_lm_iter": round(steady, 3),
+        "steady_lm_iters_per_s": round(1.0 / steady, 3),
         "cg_total": cg_total,
         "final_cost": final,
     }))
