@@ -156,10 +156,9 @@ def _cg_kernel(H_ref, b_ref, Lp_ref, out_x, out_stats,
     zeta = i.astype(f32) * (q1 - q0) / jnp.where(q1 == 0, 1.0, q1)
 
     out_x[:] = x
-    out_stats[0, 0] = i.astype(f32)
-    out_stats[0, 1] = term.astype(f32)
-    out_stats[0, 2] = zeta
-    out_stats[0, 3] = jnp.sqrt(dot(r, r))
+    out_stats[:] = jnp.stack(
+        [i.astype(f32), term.astype(f32), zeta,
+         jnp.sqrt(dot(r, r))]).reshape(1, 4)
 
 
 @functools.partial(

@@ -472,9 +472,30 @@ class SCLinearizer(LinearizerBase):
                 def apply_hpp_inv(v):
                     return precond_apply(hpp_chol, v)
 
-                def apply_e0(v):
-                    return e0_matvec(lins, buckets, stage2.Hll_inv,
-                                     self.num_cameras, v, csr=csr)
+                if self.dense_rcs:
+                    # E0 = diag_embed(Jp'Jp) - H + lam I: derive the
+                    # dense power-series operator from the already-
+                    # assembled H (one elementwise pass, no 2nd
+                    # assembly); Jp'Jp diag = jacobi - lam I
+                    N_ = self.num_cameras
+                    G = H_dense.shape[0] // P9
+                    Dz = jnp.zeros_like(H_dense)
+                    gi = jnp.arange(N_)
+                    for a_ in range(P9):
+                        for b_ in range(P9):
+                            Dz = Dz.at[a_ * G + gi, b_ * G + gi].set(
+                                jacobi[:, a_, b_]
+                                - (lam.astype(jacobi.dtype)
+                                   if a_ == b_ else 0.0))
+                    E0 = Dz - H_dense + lam.astype(H_dense.dtype) * \
+                        jnp.eye(H_dense.shape[0], dtype=H_dense.dtype)
+
+                    def apply_e0(v):
+                        return sc_matvec_dense(E0, v)
+                else:
+                    def apply_e0(v):
+                        return e0_matvec(lins, buckets, stage2.Hll_inv,
+                                         self.num_cameras, v, csr=csr)
 
                 def precond(r):
                     # power_series_solve(v) = sum_i (Hpp^-1 E0)^i Hpp^-1 (-v);
@@ -557,18 +578,61 @@ class SCLinearizer(LinearizerBase):
         return BAState(cams=cams, lm_ps=lm_ps), float(l_diff)
 
 
+def e0_assemble_dense(lins, buckets, Hll_invs, pair_csr, cam_flat,
+                      cam_csr, lam, num_cameras):
+    """Assemble E0 = Jp' Jl Hll^-1 Jl' Jp as a z-space dense matrix.
+
+    The reference never materializes E0 (PoBA's selling point is the
+    memory-light implicit sweep, sc/linearization_power_sc.hpp:250-272);
+    on TPU the implicit sweep pays two large-table row gathers per
+    power iteration (~23 ns/row at venice scale), while E0 is exactly
+    the SC pair-product matrix, so one assembly makes every power
+    iteration (and every PowerSC-preconditioner application inside CG)
+    a dense GEMV."""
+    from rootba_tpu.solver.linearization import assemble_rcs_dense
+
+    T_parts, HT_parts = [], []
+    for lin, Hll_inv in zip(lins, Hll_invs):
+        L, n = lin.Jp.shape[0], lin.Jp.shape[1]
+        T = jnp.sum(lin.Jl[..., :, None] * lin.Jp[..., None, :], axis=2)
+        HT = jnp.sum(Hll_inv[:, None, :, :, None] * T[:, :, None, :, :],
+                     axis=3)
+        T_parts.append(T.reshape(L * n, 3, P9))
+        HT_parts.append(HT.reshape(L * n, 3, P9))
+    T_flat = jnp.concatenate(T_parts, axis=0)
+    HT_flat = jnp.concatenate(HT_parts, axis=0)
+    zero_lam = jnp.zeros((), T_flat.dtype)
+    # assemble returns diag(terms) - pairs + 0*I = -E0; negate
+    negE0, _ = assemble_rcs_dense(
+        HT_flat, T_flat, [(HT_flat, T_flat, -1.0)], cam_flat, cam_csr,
+        pair_csr, zero_lam, num_cameras)
+    return -negE0
+
+
 class PowerSCLinearizer(SCLinearizer):
     """POWER_SCHUR_COMPLEMENT solver (reference
-    solver/linearizor_power_sc.cpp): power-series solve, no CG and no
-    explicit RCS assembly."""
+    solver/linearizor_power_sc.cpp): power-series solve, no CG. With
+    the dense RCS enabled, E0 is assembled once per solve and each
+    power iteration is a dense GEMV (see e0_assemble_dense); otherwise
+    the implicit per-obs sweep is used, like the reference."""
 
     linear_solver_type = "bal_power_sc"
 
     def _build(self):
         opts = self.options
-        # buckets + camera-CSR (no explicit RCS); a tuple so the host
-        # methods inherited from SCLinearizer stay uniform
-        self.consts = (self.buckets, self.cam_csr)
+        self.dense_rcs = (self.mesh is None and 0 < self.num_cameras
+                          <= opts.dense_rcs_max_cameras)
+        self.pair_csr = None
+        if self.dense_rcs:
+            from rootba_tpu.bal.bucketing import build_pair_csr
+            from rootba_tpu.solver.linearization import PairCsrIndex
+
+            self.pair_csr = PairCsrIndex.from_host(
+                build_pair_csr(self.bp.buckets, self.num_cameras))
+        cam_flat = jnp.concatenate(
+            [b.cam_idx.reshape(-1) for b in self.buckets])
+        self.consts = (self.buckets, self.cam_csr, self.pair_csr,
+                       cam_flat)
 
         from rootba_tpu.solver.linearization import compute_error_buckets
 
@@ -581,25 +645,11 @@ class PowerSCLinearizer(SCLinearizer):
                                        csr=consts[1])
 
         def solve_fn(consts, lins, lam):
-            buckets, csr = consts
+            buckets, csr, pair_csr, cam_flat = consts
             dtype = lins[0].Jp.dtype
             # per-bucket damped Hll^-1 + RHS b (landmark_block stage())
-            Hll_invs = []
-            b = jnp.zeros((self.num_cameras, P9), dtype)
-            for lin, bucket in zip(lins, buckets):
-                L, n = lin.Jp.shape[0], lin.Jp.shape[1]
-                Jl2 = lin.Jl.reshape(L, 2 * n, 3)
-                r2 = lin.r.reshape(L, 2 * n)
-                Hll_inv = damped_hll_inv(lin, bucket, lam)
-                Hll_invs.append(Hll_inv)
-                bl = jnp.einsum("lrc,lr->lc", Jl2, r2)
-                hbl = jnp.einsum("lcd,ld->lc", Hll_inv, bl)
-                rr = lin.r - jnp.einsum("lnrc,lc->lnr", lin.Jl, hbl)
-                yb = jnp.einsum("lnrj,lnr->lnj", lin.Jp, rr)
-                b = b + jax.ops.segment_sum(
-                    yb.reshape(-1, P9), bucket.cam_idx.reshape(-1),
-                    num_segments=self.num_cameras)
-            Hll_invs = tuple(Hll_invs)
+            b, Hll_invs = sc_rhs_and_hll(lins, buckets, lam,
+                                         self.num_cameras, cam_csr=csr)
 
             hpp = jp_gram_blockdiag(lins, buckets, lam,
                                     self.num_cameras)
@@ -610,9 +660,17 @@ class PowerSCLinearizer(SCLinearizer):
             def apply_hpp_inv(v):
                 return precond_apply(hpp_chol, v)
 
-            def apply_e0(v):
-                return e0_matvec(lins, buckets, Hll_invs,
-                                 self.num_cameras, v, csr=csr)
+            if self.dense_rcs:
+                E0 = e0_assemble_dense(lins, buckets, Hll_invs,
+                                       pair_csr, cam_flat, csr, lam,
+                                       self.num_cameras)
+
+                def apply_e0(v):
+                    return sc_matvec_dense(E0, v)
+            else:
+                def apply_e0(v):
+                    return e0_matvec(lins, buckets, Hll_invs,
+                                     self.num_cameras, v, csr=csr)
 
             inc, iters = power_series_solve(
                 apply_hpp_inv, apply_e0, b, opts.power_order,

@@ -261,6 +261,43 @@ def test_flat_and_reduction_paths_match(synthetic_problem, variant, dtype):
             err_msg=f"component {i} ({layout}, alg={reduction_alg})")
 
 
+def test_poba_dense_vs_implicit_e0(synthetic_problem, dtype):
+    """The dense assembled E0 drives the power series to the same
+    increment as the reference-style implicit per-obs sweep."""
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    common = dict(solver_type=SolverType.POWER_SCHUR_COMPLEMENT,
+                  preconditioner_type=(
+                      PreconditionerType.POWER_SCHUR_COMPLEMENT))
+    ref = _one_solve(bp, "einsum", 1, dtype.type,
+                     dense_rcs_max_cameras=0, **common)
+    got = _one_solve(bp, "einsum", 1, dtype.type,
+                     dense_rcs_max_cameras=2048, **common)
+    rtol = 2e-4 if dtype.itemsize == 4 else 1e-9
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (poba dense vs implicit)")
+
+
+def test_sc_power_precond_dense_vs_implicit(synthetic_problem, dtype):
+    """SC solver with the PowerSC preconditioner: dense-E0 series ==
+    implicit-sweep series."""
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    common = dict(solver_type=SolverType.SCHUR_COMPLEMENT,
+                  preconditioner_type=(
+                      PreconditionerType.POWER_SCHUR_COMPLEMENT),
+                  power_order=5)
+    ref = _one_solve(bp, "einsum", 1, dtype.type,
+                     dense_rcs_max_cameras=0, **common)
+    got = _one_solve(bp, "einsum", 1, dtype.type,
+                     dense_rcs_max_cameras=2048, **common)
+    rtol = 2e-4 if dtype.itemsize == 4 else 1e-8
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (sc power precond)")
+
+
 def test_sqrt_explicit_vs_implicit_rcs(synthetic_problem, dtype):
     """The explicit dense RCS assembled from the QR factors
     (flat_assemble_rcs) runs CG to the same increment as the implicit
