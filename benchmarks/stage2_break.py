@@ -43,7 +43,7 @@ def main():
     state = initial_state(bp, "float32")
     N = lin.num_cameras
     consts = lin.consts
-    buckets, csr, cam_flat = consts
+    buckets, csr, cam_flat = consts[:3]
     lam = jnp.asarray(1e-4, jnp.float32)
     z = jnp.zeros((), jnp.float32)
     O = int(cam_flat.shape[0])
@@ -129,7 +129,7 @@ def main():
 
     # 5. explicit RCS from QR factors: W27 per obs + pair products
     from rootba_tpu.solver.explicit_sc import build_pair_structure
-    pairs = build_pair_structure(bp, N, dense=True)
+    pairs = build_pair_structure(bp, N)
     print(f"   unique pairs P={pairs.num_pairs} "
           f"sum n^2={sum(int(pid.size) for pid in pairs.pair_ids)}",
           flush=True)
@@ -156,25 +156,10 @@ def main():
 
     timed("rcs assemble (segsum pairs)", chain(rcs_assemble), K, z)
 
+    # block-sparse matvec
     H = rcs_assemble(z)
-
-    # densify + dense matvec
-    def densify(eps):
-        Hp = H + eps
-        Hd = Hp[pairs.dense_idx].reshape(N, N, 9, 9)
-        return Hd.transpose(0, 2, 1, 3).reshape(N * 9, N * 9)
-
-    timed("densify", chain(densify), K, z)
-
-    Hd = densify(z)
     x = jnp.zeros((N * 9,), jnp.float32)
 
-    def dmv(eps):
-        return Hd @ (x + eps + 1.0)
-
-    timed("dense matvec", chain(dmv), 8 * K, z)
-
-    # block-sparse matvec
     def bmv(eps):
         xb = (x + eps).reshape(N, 9)
         xg = xb[pairs.pair_col]

@@ -91,8 +91,7 @@ class PairStructure(NamedTuple):
         return self.pair_row.shape[0]
 
 
-def build_pair_structure(bp, num_cameras: int,
-                         dense: bool = False) -> PairStructure:
+def build_pair_structure(bp, num_cameras: int) -> PairStructure:
     N = num_cameras
     codes_list = []
     for b in bp.buckets:
@@ -114,11 +113,7 @@ def build_pair_structure(bp, num_cameras: int,
     pos_clipped = np.minimum(pos, max(P - 1, 0))
     exists = (P > 0) & (unique[pos_clipped] == diag_codes)
     diag_pid = np.where(exists, pos, P).astype(np.int32)
-    if dense:
-        dense_idx = np.full(N * N, P, dtype=np.int32)
-        dense_idx[unique] = np.arange(P, dtype=np.int32)
-    else:
-        dense_idx = np.zeros(0, dtype=np.int32)
+    dense_idx = np.zeros(0, dtype=np.int32)
     return PairStructure(
         pair_row=jnp.asarray((unique // N).astype(np.int32)),
         pair_col=jnp.asarray((unique % N).astype(np.int32)),
@@ -246,24 +241,6 @@ def sc_matvec(stage2: SCStage2, pairs: PairStructure, num_cameras, x):
     xg = x[pairs.pair_col]  # [P,9]
     y = jnp.einsum("pij,pj->pi", stage2.H, xg)
     return jax.ops.segment_sum(y, pairs.pair_row, num_segments=num_cameras)
-
-
-def sc_densify(stage2: SCStage2, pairs: PairStructure,
-               num_cameras: int) -> jnp.ndarray:
-    """Expand the unique pair blocks into the dense RCS [9N, 9N].
-
-    The reference keeps the RCS as a hash-map of 9x9 blocks because CPU
-    memory is the constraint (block_sparse_matrix.hpp:150-310); on TPU
-    the constraint is scatter/gather cost per CG iteration, so for
-    moderate camera counts one dense materialization per stage2 (a
-    static gather) buys ~100 pure-MXU GEMV matvecs."""
-    N = num_cameras
-    P = stage2.H.shape[0]
-    Hp = jnp.concatenate(
-        [stage2.H.reshape(P, P9 * P9),
-         jnp.zeros((1, P9 * P9), stage2.H.dtype)], axis=0)
-    Hd = Hp[pairs.dense_idx].reshape(N, N, P9, P9)
-    return Hd.transpose(0, 2, 1, 3).reshape(N * P9, N * P9)
 
 
 def sc_matvec_dense(Hz: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

@@ -210,15 +210,6 @@ def csr_pair_outer(strip_a: jnp.ndarray, strip_b: jnp.ndarray,
     return jnp.sum(rsum[pairs.idx2], axis=1)  # [P, 81]
 
 
-def gram81_flat(M: jnp.ndarray) -> jnp.ndarray:
-    """Per-row Gram blocks M_o' M_o as flat [O, 81] rows
-    (out col a*9+b = sum_r M[o,r,a] M[o,r,b]); the repeat/tile form
-    avoids the [O,9,9] relayout pass (see csr_pair_outer)."""
-    A = jnp.repeat(M, 9, axis=2)
-    B = jnp.tile(M, (1, 1, 9))
-    return jnp.sum(A * B, axis=1)
-
-
 class _SelfPairView(NamedTuple):
     """Adapter presenting a CamCsrIndex as a pair index whose two sides
     are the same observation (for per-camera gram reductions through
