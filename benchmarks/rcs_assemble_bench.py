@@ -44,9 +44,8 @@ def main():
     assert pairs is not None, "explicit mode not active"
     lam = jnp.asarray(1e-4, jnp.float32)
     z = jnp.zeros((), jnp.float32)
-    print(f"{name}: N={N} P={pairs.num_pairs} R={pairs.wi_idx.shape[0]} "
-          f"slots={pairs.wi_idx.shape[0] * pairs.wi_idx.shape[1]}",
-          flush=True)
+    print(f"{name}: N={N} P={pairs.num_pairs} "
+          f"kind={type(pairs).__name__}", flush=True)
 
     lins, pose_scale, _ = jax.jit(lin.stage1_pure)(
         lin.consts, state.cams, state.lm_ps)
@@ -62,12 +61,17 @@ def main():
     def asm(eps):
         s2 = stage2._replace(lam=stage2.lam + eps)
         return sqrt_flat.flat_assemble_rcs(lins, s2, cam_flat, pairs, N,
-                                           csr=csr)
+                                           csr=csr, buckets=buckets)
 
     timed("flat_assemble_rcs (full)", chain(asm), K, z)
 
     # pieces
-    from rootba_tpu.solver.linearization import csr_pair_outer
+    from rootba_tpu.solver.linearization import (
+        PairStripsIndex,
+        csr_pair_outer,
+        csr_pair_outer_strips,
+    )
+    is_strips = isinstance(pairs, PairStripsIndex)
 
     def wstrip(eps):
         return jnp.sum(
@@ -79,7 +83,10 @@ def main():
     W = jax.jit(wstrip)(z)
 
     def pouter(eps):
-        return csr_pair_outer(W + eps, W, pairs)
+        Wp = W + eps
+        if is_strips:
+            return csr_pair_outer_strips(Wp, Wp, buckets, pairs)
+        return csr_pair_outer(Wp, Wp, pairs)
 
     timed("csr_pair_outer", chain(pouter), K, z)
 

@@ -364,6 +364,177 @@ def build_pair_csr(buckets, num_cameras: int, width: int = 64,
     )
 
 
+class PairStrips(NamedTuple):
+    """Landmark-strip formulation of the strict-pair index (the fast
+    path of PairCsr; see its docstring for the role).
+
+    Measured TPU gather economics (benchmarks/micro_gather_big.py):
+    cost is per-index, row width is free up to ~432 B, and sources
+    with <= ~256k rows gather ~5x faster than million-row tables. So
+    instead of two per-observation row gathers per pair slot from the
+    [O, 27] strip, slots are grouped by (bucket, within-landmark
+    pattern (i, j)) and each slot gathers its landmark's ENTIRE
+    [n*27]-wide strip row from the per-bucket [L_b, n*27] table (5-20x
+    fewer source rows, ONE index per slot); the two sides fall out by
+    STATIC column slices i*27/j*27. Slots are pair-sorted within each
+    group and padded to width-aligned runs, so the two-level reduce is
+    unchanged: concatenated per-group run sums -> idx2 per unique
+    pair. Non-canonical slots (cam_i > cam_j) carry a swap flag and
+    contribute the transposed block (a static column permutation).
+
+    Small groups (a high-obs-count bucket has n(n-1)/2 patterns, most
+    tiny) would pay a fixed per-op overhead each; groups below
+    `min_group` slots are instead routed through a per-observation
+    (wi, wj) side stream gathered like PairCsr. Their run rows follow
+    the strip groups' rows on the shared row axis.
+    """
+
+    # per (bucket, i, j) group, flattened in deterministic order:
+    group_bucket: Tuple[int, ...]  # bucket index of each group
+    group_i: Tuple[int, ...]  # first-side obs slot within the landmark
+    group_j: Tuple[int, ...]  # second-side obs slot
+    lm_idx: Tuple[np.ndarray, ...]  # per group [g_pad] int32 landmark
+    #   rows into the bucket's [L_b] axis, pair-sorted, pad = L_b
+    swap: Tuple[np.ndarray, ...]  # per group [g_pad] bool
+    wi_idx: np.ndarray  # [R_obs, width] leftover-slot side-1 flat obs
+    #   index, canonical order (pad = O)
+    wj_idx: np.ndarray  # [R_obs, width] side 2
+    idx2: np.ndarray  # [P, vmax] int32 global run-row ids (pad = R)
+    pair_row: np.ndarray  # [P] int32 (<= pair_col)
+    pair_col: np.ndarray  # [P] int32
+    up_idx: np.ndarray  # [G*G] int32 (see PairCsr)
+    lo_idx: np.ndarray  # [G*G] int32
+
+
+def _pad_runs(code_sorted, width, *cols):
+    """Pad pair-sorted per-slot columns to width-aligned per-pair runs.
+    Returns (padded columns..., run pair-codes) with pad slots left at
+    the fill values pre-set in `fill`."""
+    u, counts = np.unique(code_sorted, return_counts=True)
+    padded = (counts + width - 1) // width * width
+    total = int(padded.sum())
+    starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    src_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = (np.arange(code_sorted.size, dtype=np.int64)
+              - np.repeat(src_starts, counts))
+    dst = np.repeat(starts, counts) + within
+    outs = []
+    for col, fill in cols:
+        out = np.full(total, fill, dtype=col.dtype)
+        out[dst] = col
+        outs.append(out)
+    return outs, np.repeat(u, padded // width)
+
+
+def build_pair_strips(buckets, num_cameras: int, width: int = 64,
+                      grid_n: int | None = None,
+                      min_group: int = 16384) -> PairStrips:
+    """Build the landmark-strip strict-pair index (see PairStrips)."""
+    N = num_cameras
+    G = grid_n if grid_n is not None else N
+
+    # collect per-pattern records; route small patterns to the
+    # per-observation leftover stream
+    recs = []  # big groups: (code_sorted, lm_sorted, swap_sorted)
+    group_meta = []
+    left = []  # small groups: (code, oi, oj) per slot
+    obs_off = 0
+    for bi, b in enumerate(buckets):
+        L, n = b.cam_idx.shape
+        iu, ju = np.triu_indices(n, k=1)
+        for t in range(iu.size):
+            i, j = int(iu[t]), int(ju[t])
+            ci = b.cam_idx[:, i].astype(np.int64)
+            cj = b.cam_idx[:, j].astype(np.int64)
+            valid = b.mask[:, i] & b.mask[:, j]
+            lm = np.nonzero(valid)[0].astype(np.int64)
+            if lm.size == 0:
+                continue
+            a = np.minimum(ci[lm], cj[lm])
+            c = np.maximum(ci[lm], cj[lm])
+            swap = ci[lm] > cj[lm]
+            code = a * N + c
+            if lm.size >= min_group:
+                order = np.argsort(code, kind="stable")
+                recs.append((code[order], lm[order], swap[order]))
+                group_meta.append((bi, i, j, L))
+            else:
+                oi = obs_off + lm * n + i
+                oj = obs_off + lm * n + j
+                wi = np.where(swap, oj, oi)
+                wj = np.where(swap, oi, oj)
+                left.append((code, wi, wj))
+        obs_off += L * n
+    num_obs_slots = obs_off
+
+    all_codes = [r[0] for r in recs] + [lv[0] for lv in left]
+    all_codes = (np.concatenate(all_codes) if all_codes
+                 else np.zeros(0, np.int64))
+    unique = np.unique(all_codes)
+    P = unique.size
+
+    lm_idx_groups, swap_groups, gb, gi, gj = [], [], [], [], []
+    row_pair = []  # pair id of each global run row, in emission order
+    for (code, lm, swap), (bi, i, j, L) in zip(recs, group_meta):
+        pid = np.searchsorted(unique, code)
+        (out_lm, out_sw), rp = _pad_runs(
+            pid, width,
+            (lm.astype(np.int64), L), (swap, False))
+        lm_idx_groups.append(out_lm.astype(np.int32))
+        swap_groups.append(out_sw.astype(bool))
+        gb.append(bi)
+        gi.append(i)
+        gj.append(j)
+        row_pair.append(rp)
+
+    # leftover per-observation stream (pair-sorted, width-padded)
+    if left:
+        lcode = np.concatenate([lv[0] for lv in left])
+        lwi = np.concatenate([lv[1] for lv in left])
+        lwj = np.concatenate([lv[2] for lv in left])
+        order = np.argsort(lcode, kind="stable")
+        pid = np.searchsorted(unique, lcode[order])
+        (wi_pad, wj_pad), rp = _pad_runs(
+            pid, width,
+            (lwi[order], num_obs_slots), (lwj[order], num_obs_slots))
+        wi_idx = wi_pad.reshape(-1, width).astype(np.int32)
+        wj_idx = wj_pad.reshape(-1, width).astype(np.int32)
+        row_pair.append(rp)
+    else:
+        wi_idx = np.zeros((0, width), np.int32)
+        wj_idx = np.zeros((0, width), np.int32)
+
+    row_pair = (np.concatenate(row_pair) if row_pair
+                else np.zeros(0, np.int64))
+    R = row_pair.size
+    order = np.argsort(row_pair, kind="stable")
+    # idx2: rows of each pair (rows stay in emission order; idx2
+    # gathers them per pair)
+    counts = np.bincount(row_pair, minlength=P).astype(np.int64)
+    vmax = max(int(counts.max(initial=1)), 1)
+    idx2 = np.full((P, vmax), R, dtype=np.int64)
+    sorted_rows = order
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = (np.arange(R, dtype=np.int64) - np.repeat(starts, counts))
+    idx2[row_pair[sorted_rows], within] = sorted_rows
+
+    rows = (unique // N).astype(np.int64)
+    cols = (unique % N).astype(np.int64)
+    up_idx = np.full(G * G, P, dtype=np.int64)
+    up_idx[rows * G + cols] = np.arange(P, dtype=np.int64)
+    lo_idx = np.full(G * G, P, dtype=np.int64)
+    lo_idx[cols * G + rows] = np.arange(P, dtype=np.int64)
+
+    return PairStrips(
+        group_bucket=tuple(gb), group_i=tuple(gi), group_j=tuple(gj),
+        lm_idx=tuple(lm_idx_groups), swap=tuple(swap_groups),
+        wi_idx=wi_idx, wj_idx=wj_idx,
+        idx2=idx2.astype(np.int32),
+        pair_row=rows.astype(np.int32), pair_col=cols.astype(np.int32),
+        up_idx=up_idx.astype(np.int32), lo_idx=lo_idx.astype(np.int32),
+    )
+
+
 def scatter_landmarks(
     bp: BucketedProblem, lm_p_buckets
 ) -> np.ndarray:

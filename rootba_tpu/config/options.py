@@ -232,6 +232,14 @@ class SolverOptions:
                    "dense [9N, 9N] matrix when num_cameras <= this (the "
                    "PCG matvec becomes a single MXU GEMV instead of "
                    "block-gather + scatter); 0 disables")
+    pair_gather: str = opt(
+        "strips", help="explicit-RCS pair-product gather formulation: "
+                       "'strips' (default) gathers one landmark strip "
+                       "row per pair slot from small per-bucket tables "
+                       "(fast-gather regime, one index per slot); "
+                       "'obs' gathers the two per-observation rows "
+                       "from the flat [O,27] strip (simpler, slower "
+                       "at >1M-observation scale)")
     pallas_cg: str = opt(
         "auto", help="run the whole dense-RCS PCG loop as one Pallas "
                      "kernel with the system resident in VMEM "

@@ -232,7 +232,8 @@ def sc_assemble_dense(lins, buckets, pair_csr, cam_flat, cam_csr, lam,
     Hd, diag = assemble_rcs_dense(
         HT_flat, T_flat,
         [(Jp_flat, Jp_flat, 1.0), (HT_flat, T_flat, -1.0)],
-        cam_flat, cam_csr, pair_csr, lam, num_cameras)
+        cam_flat, cam_csr, pair_csr, lam, num_cameras,
+        buckets=buckets)
     return Hd, diag, b, Hll_invs
 
 
@@ -364,6 +365,22 @@ def sc_back_substitute(lins, buckets, Hll_invs, lm_ps, pose_inc):
 from rootba_tpu.solver.lm import BAState, LinearizerBase  # noqa: E402
 
 
+def _build_pair_index(bp, num_cameras, pair_gather):
+    """Strict-pair index for the dense-RCS paths, in the configured
+    gather formulation (see SolverOptions.pair_gather)."""
+    if pair_gather == "strips":
+        from rootba_tpu.bal.bucketing import build_pair_strips
+        from rootba_tpu.solver.linearization import PairStripsIndex
+
+        return PairStripsIndex.from_host(
+            build_pair_strips(bp.buckets, num_cameras))
+    from rootba_tpu.bal.bucketing import build_pair_csr
+    from rootba_tpu.solver.linearization import PairCsrIndex
+
+    return PairCsrIndex.from_host(
+        build_pair_csr(bp.buckets, num_cameras))
+
+
 class SCLinearizer(LinearizerBase):
     """SCHUR_COMPLEMENT solver (reference solver/linearizor_sc.cpp)."""
 
@@ -379,12 +396,9 @@ class SCLinearizer(LinearizerBase):
                           <= opts.dense_rcs_max_cameras)
         self.pair_csr = None
         if self.dense_rcs:
-            from rootba_tpu.bal.bucketing import build_pair_csr
-            from rootba_tpu.solver.linearization import PairCsrIndex
-
             self.pairs = None
-            self.pair_csr = PairCsrIndex.from_host(
-                build_pair_csr(self.bp.buckets, self.num_cameras))
+            self.pair_csr = _build_pair_index(
+                self.bp, self.num_cameras, opts.pair_gather)
         else:
             self.pairs = build_pair_structure(self.bp, self.num_cameras)
         cam_flat = jnp.concatenate(
@@ -582,7 +596,7 @@ def e0_assemble_dense(lins, buckets, Hll_invs, pair_csr, cam_flat,
     # assemble returns diag(terms) - pairs + 0*I = -E0; negate
     negE0, _ = assemble_rcs_dense(
         HT_flat, T_flat, [(HT_flat, T_flat, -1.0)], cam_flat, cam_csr,
-        pair_csr, zero_lam, num_cameras)
+        pair_csr, zero_lam, num_cameras, buckets=buckets)
     return -negE0
 
 
@@ -601,11 +615,8 @@ class PowerSCLinearizer(SCLinearizer):
                           <= opts.dense_rcs_max_cameras)
         self.pair_csr = None
         if self.dense_rcs:
-            from rootba_tpu.bal.bucketing import build_pair_csr
-            from rootba_tpu.solver.linearization import PairCsrIndex
-
-            self.pair_csr = PairCsrIndex.from_host(
-                build_pair_csr(self.bp.buckets, self.num_cameras))
+            self.pair_csr = _build_pair_index(
+                self.bp, self.num_cameras, opts.pair_gather)
         cam_flat = jnp.concatenate(
             [b.cam_idx.reshape(-1) for b in self.buckets])
         self.consts = (self.buckets, self.cam_csr, self.pair_csr,

@@ -210,6 +210,162 @@ def csr_pair_outer(strip_a: jnp.ndarray, strip_b: jnp.ndarray,
     return jnp.sum(rsum[pairs.idx2], axis=1)  # [P, 81]
 
 
+@jax.tree_util.register_pytree_node_class
+class PairStripsIndex:
+    """Device copy of bucketing.PairStrips (see its docstring).
+
+    Registered pytree whose (group_bucket, group_i, group_j) metadata
+    is STATIC aux data -- it drives Python-level slicing decisions in
+    csr_pair_outer_strips and must not be traced when the structure is
+    passed as a jit argument."""
+
+    def __init__(self, group_bucket, group_i, group_j, lm_idx, swap,
+                 wi_idx, wj_idx, idx2, pair_row, pair_col, up_idx,
+                 lo_idx):
+        self.group_bucket = group_bucket
+        self.group_i = group_i
+        self.group_j = group_j
+        self.lm_idx = lm_idx
+        self.swap = swap
+        self.wi_idx = wi_idx
+        self.wj_idx = wj_idx
+        self.idx2 = idx2
+        self.pair_row = pair_row
+        self.pair_col = pair_col
+        self.up_idx = up_idx
+        self.lo_idx = lo_idx
+
+    def tree_flatten(self):
+        children = (self.lm_idx, self.swap, self.wi_idx, self.wj_idx,
+                    self.idx2, self.pair_row, self.pair_col,
+                    self.up_idx, self.lo_idx)
+        aux = (self.group_bucket, self.group_i, self.group_j)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+    @property
+    def num_pairs(self) -> int:
+        return self.pair_row.shape[0]
+
+    @staticmethod
+    def from_host(ps) -> "PairStripsIndex":
+        return PairStripsIndex(
+            group_bucket=tuple(ps.group_bucket),
+            group_i=tuple(ps.group_i), group_j=tuple(ps.group_j),
+            lm_idx=tuple(jnp.asarray(x) for x in ps.lm_idx),
+            swap=tuple(jnp.asarray(x) for x in ps.swap),
+            wi_idx=jnp.asarray(ps.wi_idx),
+            wj_idx=jnp.asarray(ps.wj_idx),
+            idx2=jnp.asarray(ps.idx2),
+            pair_row=jnp.asarray(ps.pair_row),
+            pair_col=jnp.asarray(ps.pair_col),
+            up_idx=jnp.asarray(ps.up_idx),
+            lo_idx=jnp.asarray(ps.lo_idx))
+
+
+PAIR_WIDTH = 64
+
+
+def csr_pair_outer_strips(strip_a, strip_b, buckets,
+                          strips: PairStripsIndex) -> jnp.ndarray:
+    """Strict-pair block-product reduction in the landmark-strip
+    formulation (see bucketing.PairStrips): ONE small-table row gather
+    per pair slot (two when strip_a is not strip_b), static column
+    slices for the (i, j) sides, input-side canonical swap, width-run
+    sums + per-pair idx2 gather. Semantics match csr_pair_outer:
+
+        out[p, a*9+b] = sum over obs pairs of camera pair p of
+                        sum_k strip_a[first, k, a] strip_b[second, k, b]
+
+    with `first` the observation on the pair's lower-id camera.
+    """
+    O, K, _ = strip_a.shape
+    same = strip_a is strip_b
+    fa = strip_a.reshape(O, K * 9)
+    fb = fa if same else strip_b.reshape(O, K * 9)
+
+    offs = [0]
+    for b in buckets:
+        L, n = b.cam_idx.shape
+        offs.append(offs[-1] + L * n)
+
+    rows_parts = []
+    for g in range(len(strips.group_bucket)):
+        bi = strips.group_bucket[g]
+        i, j = strips.group_i[g], strips.group_j[g]
+        L, n = buckets[bi].cam_idx.shape
+        lm = strips.lm_idx[g]
+        sw = strips.swap[g]
+        ta = jax.lax.slice_in_dim(fa, offs[bi], offs[bi + 1],
+                                  axis=0).reshape(L, n * K * 9)
+        tb = ta if same else jax.lax.slice_in_dim(
+            fb, offs[bi], offs[bi + 1], axis=0).reshape(L, n * K * 9)
+
+        # chunk big groups (bounds the [chunk, n*K*9] gather + the
+        # [chunk, K, 81] product transients)
+        gsz = lm.shape[0]
+        chunk = max(PAIR_WIDTH, min(gsz, (8 << 20) // (n * K * 9 * 4)))
+        chunk = chunk // PAIR_WIDTH * PAIR_WIDTH
+        npad = -(-gsz // chunk) * chunk
+        if npad != gsz:
+            lm = jnp.concatenate(
+                [lm, jnp.full((npad - gsz,), L, jnp.int32)])
+            sw = jnp.concatenate(
+                [sw, jnp.zeros((npad - gsz,), bool)])
+
+        def one(args, i=i, j=j, K=K, ta=ta, tb=tb):
+            lm_c, sw_c = args
+            ga = jnp.take(ta, lm_c, axis=0, mode="fill",
+                          fill_value=0.0)
+            gb_ = ga if same else jnp.take(
+                tb, lm_c, axis=0, mode="fill", fill_value=0.0)
+            ai = ga[:, i * K * 9:(i + 1) * K * 9]
+            aj = ga[:, j * K * 9:(j + 1) * K * 9]
+            bi_ = gb_[:, i * K * 9:(i + 1) * K * 9]
+            bj = gb_[:, j * K * 9:(j + 1) * K * 9]
+            # canonical order: first side on the lower camera id
+            s1 = jnp.where(sw_c[:, None], aj, ai).reshape(-1, K, 9)
+            s2 = jnp.where(sw_c[:, None], bi_, bj).reshape(-1, K, 9)
+            A = jnp.repeat(s1, 9, axis=2)
+            B = jnp.tile(s2, (1, 1, 9))
+            prod = jnp.sum(A * B, axis=1)  # [chunk, 81]
+            return jnp.sum(
+                prod.reshape(-1, PAIR_WIDTH, 81), axis=1)
+
+        nch = npad // chunk
+        if nch == 1:
+            rows_parts.append(one((lm, sw)))
+        else:
+            rows_parts.append(jax.lax.map(
+                one, (lm.reshape(nch, chunk),
+                      sw.reshape(nch, chunk))
+            ).reshape(npad // PAIR_WIDTH, 81))
+
+    # leftover per-observation stream (small patterns; see PairStrips)
+    Rl, Wl = strips.wi_idx.shape
+    if Rl:
+        # both sides always differ here (two observations of one
+        # landmark); fb is fa for symmetric strips
+        si = jnp.take(fa, strips.wi_idx.reshape(-1), axis=0,
+                      mode="fill", fill_value=0.0)
+        sj = jnp.take(fb, strips.wj_idx.reshape(-1), axis=0,
+                      mode="fill", fill_value=0.0)
+        A = jnp.repeat(si.reshape(-1, K, 9), 9, axis=2)
+        B = jnp.tile(sj.reshape(-1, K, 9), (1, 1, 9))
+        prod = jnp.sum(A * B, axis=1)
+        rows_parts.append(
+            jnp.sum(prod.reshape(Rl, Wl, 81), axis=1))
+
+    rows = (rows_parts[0] if len(rows_parts) == 1
+            else jnp.concatenate(rows_parts, axis=0))
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((1, 81), rows.dtype)], axis=0)
+    return jnp.sum(rows[strips.idx2], axis=1)  # [P, 81]
+
+
 class _SelfPairView(NamedTuple):
     """Adapter presenting a CamCsrIndex as a pair index whose two sides
     are the same observation (for per-camera gram reductions through
@@ -227,7 +383,7 @@ class _SelfPairView(NamedTuple):
 
 
 def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
-                       pairs: PairCsrIndex, lam, num_cameras):
+                       pairs, lam, num_cameras, buckets=None):
     """Dense [9N, 9N] reduced camera system from per-obs factors:
 
         H = sum over a camera's obs of (sum_terms sign * A_i' B_i)
@@ -251,7 +407,10 @@ def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
     N = num_cameras
     lam = lam.astype(dtype)
 
-    Hup = csr_pair_outer(strip_a, strip_b, pairs)  # [P, 81]
+    if isinstance(pairs, PairStripsIndex):
+        Hup = csr_pair_outer_strips(strip_a, strip_b, buckets, pairs)
+    else:
+        Hup = csr_pair_outer(strip_a, strip_b, pairs)  # [P, 81]
 
     if csr is not None:
         view = _SelfPairView.of(csr)

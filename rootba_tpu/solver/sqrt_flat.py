@@ -242,7 +242,7 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
 
 
 def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, cam_flat, pairs,
-                      num_cameras, csr=None):
+                      num_cameras, csr=None, buckets=None):
     """Assemble the explicit reduced camera system of the sqrt solver,
 
         H = Jp'Jp - (Q1'Jp)'(Q1'Jp) + lam I = (Q2'Jp)'(Q2'Jp) + lam I,
@@ -276,7 +276,7 @@ def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, cam_flat, pairs,
     # inside the gather-reduce -- no [O,81] materialization)
     return assemble_rcs_dense(
         W, W, [(lin.Jp, lin.Jp, 1.0), (W, W, -1.0)], cam_flat, csr,
-        pairs, stage2.lam, num_cameras)
+        pairs, stage2.lam, num_cameras, buckets=buckets)
 
 
 def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,
@@ -368,12 +368,23 @@ class FlatSqrtLinearizer(LinearizerBase):
         self.pallas_cg = use_pallas
         pairs = None
         if explicit:
-            from rootba_tpu.bal.bucketing import build_pair_csr
-            from rootba_tpu.solver.linearization import PairCsrIndex
+            grid = Nc if use_pallas else None
+            if opts.pair_gather == "strips":
+                from rootba_tpu.bal.bucketing import build_pair_strips
+                from rootba_tpu.solver.linearization import (
+                    PairStripsIndex,
+                )
 
-            pairs = PairCsrIndex.from_host(build_pair_csr(
-                self.bp.buckets, N,
-                grid_n=Nc if use_pallas else None))
+                pairs = PairStripsIndex.from_host(build_pair_strips(
+                    self.bp.buckets, N, grid_n=grid))
+            else:
+                from rootba_tpu.bal.bucketing import build_pair_csr
+                from rootba_tpu.solver.linearization import (
+                    PairCsrIndex,
+                )
+
+                pairs = PairCsrIndex.from_host(build_pair_csr(
+                    self.bp.buckets, N, grid_n=grid))
         self.consts = (self.buckets, self.cam_csr, cam_flat, pairs)
         use_valid = opts.use_projection_validity_check()
 
@@ -405,7 +416,8 @@ class FlatSqrtLinearizer(LinearizerBase):
                     precond_jacobi=precond_jacobi, csr=csr,
                     with_precond=precond_jacobi)
                 Hd, diag = flat_assemble_rcs(lins, stage2, cam_flat,
-                                             pairs, N, csr=csr)
+                                             pairs, N, csr=csr,
+                                             buckets=buckets)
                 if not precond_jacobi:
                     chol = chol9(diag)
                     stage2 = stage2._replace(precond_chol=chol)

@@ -298,6 +298,65 @@ def test_sc_power_precond_dense_vs_implicit(synthetic_problem, dtype):
             err_msg=f"component {i} (sc power precond)")
 
 
+def test_pair_gather_strips_vs_obs(synthetic_problem, dtype):
+    """The landmark-strip pair-product gather (one small-table index
+    per slot, static pattern slices, input-side canonical swap)
+    assembles the same dense RCS as the per-observation formulation."""
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pair_gather="obs", pallas_cg="off")
+    got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pair_gather="strips", pallas_cg="off")
+    rtol = 1e-4 if dtype.itemsize == 4 else 1e-10
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (strips vs obs pair gather)")
+
+
+def test_pair_strips_groups_match_obs_csr(synthetic_problem):
+    """The landmark-strip GROUP path (min_group=1 forces every pattern
+    through it, exercising static slicing + input-side swap) produces
+    the same per-pair block sums as the per-observation CSR."""
+    from rootba_tpu.bal.bucketing import build_pair_csr, build_pair_strips
+    from rootba_tpu.solver.linearization import (
+        PairCsrIndex,
+        PairStripsIndex,
+        csr_pair_outer,
+        csr_pair_outer_strips,
+    )
+    from rootba_tpu.solver.lm import SqrtLinearizer, initial_state
+
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    opts = SolverOptions()
+    lin = SqrtLinearizer(bp, opts, np.float64)
+    state = initial_state(bp, jnp.float64)
+    lin.set_state(state)
+    lin.linearize()
+    N = lin.num_cameras
+
+    # flat per-obs strips from the einsum-layout lins
+    W_parts = []
+    lam = jnp.asarray(1e-3, jnp.float64)
+    s2 = sqrt_qr.sqrt_stage2(lin._lins, lin.buckets, lam, N)
+    for lb, Q1h in zip(lin._lins, s2.Q1h):
+        L, n = lb.Jp.shape[0], lb.Jp.shape[1]
+        W = jnp.sum(Q1h[..., :, None] * lb.Jp[..., None, :], axis=2)
+        W_parts.append(W.reshape(L * n, 3, 9))
+    W = jnp.concatenate(W_parts, axis=0)
+
+    obs = PairCsrIndex.from_host(build_pair_csr(bp.buckets, N))
+    ref = np.asarray(csr_pair_outer(W, W, obs))
+
+    for min_group in (1, 10**9):
+        strips = PairStripsIndex.from_host(
+            build_pair_strips(bp.buckets, N, min_group=min_group))
+        got = np.asarray(
+            csr_pair_outer_strips(W, W, lin.buckets, strips))
+        np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12,
+                                   err_msg=f"min_group={min_group}")
+
+
 def test_sqrt_explicit_vs_implicit_rcs(synthetic_problem, dtype):
     """The explicit dense RCS assembled from the QR factors
     (flat_assemble_rcs) runs CG to the same increment as the implicit
