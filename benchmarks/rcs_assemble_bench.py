@@ -19,6 +19,7 @@ from benchmarks.flat_times import chain, timed
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "trafalgar"
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    mode = sys.argv[3] if len(sys.argv) > 3 else "strips"
 
     from benchmarks.scale_bench import SIZES
     from rootba_tpu.bal.bucketing import bucketize
@@ -35,7 +36,8 @@ def main():
     p.normalize(100.0)
     p.perturb(0.0, 0.01, 0.01, 38401)
     p.filter_obs(0.1)
-    opts = SolverOptions(use_double=False, verbosity_level=0)
+    opts = SolverOptions(use_double=False, verbosity_level=0,
+                         pair_gather=mode)
     bp = bucketize(p, pow2_from=opts.bucket_pow2_from)
     lin = create_linearizer(bp, opts, "float32")
     state = initial_state(bp, "float32")
@@ -46,6 +48,11 @@ def main():
     z = jnp.zeros((), jnp.float32)
     print(f"{name}: N={N} P={pairs.num_pairs} "
           f"kind={type(pairs).__name__}", flush=True)
+    if hasattr(pairs, "lm_idx"):
+        gsl = sum(int(x.shape[0]) for x in pairs.lm_idx)
+        lsl = int(pairs.wi_idx.size)
+        print(f"   strips groups={len(pairs.lm_idx)} slots={gsl} "
+              f"leftover slots={lsl}", flush=True)
 
     lins, pose_scale, _ = jax.jit(lin.stage1_pure)(
         lin.consts, state.cams, state.lm_ps)

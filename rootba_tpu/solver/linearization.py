@@ -267,6 +267,7 @@ class PairStripsIndex:
 
 
 PAIR_WIDTH = 64
+_PAIR_CHUNK_BYTES = 8 << 20  # per-chunk gather budget (test knob)
 
 
 def csr_pair_outer_strips(strip_a, strip_b, buckets,
@@ -307,7 +308,8 @@ def csr_pair_outer_strips(strip_a, strip_b, buckets,
         # chunk big groups (bounds the [chunk, n*K*9] gather + the
         # [chunk, K, 81] product transients)
         gsz = lm.shape[0]
-        chunk = max(PAIR_WIDTH, min(gsz, (8 << 20) // (n * K * 9 * 4)))
+        chunk = max(PAIR_WIDTH,
+                    min(gsz, _PAIR_CHUNK_BYTES // (n * K * 9 * 4)))
         chunk = chunk // PAIR_WIDTH * PAIR_WIDTH
         npad = -(-gsz // chunk) * chunk
         if npad != gsz:
@@ -337,12 +339,15 @@ def csr_pair_outer_strips(strip_a, strip_b, buckets,
 
         nch = npad // chunk
         if nch == 1:
-            rows_parts.append(one((lm, sw)))
+            rows_g = one((lm, sw))
         else:
-            rows_parts.append(jax.lax.map(
+            rows_g = jax.lax.map(
                 one, (lm.reshape(nch, chunk),
                       sw.reshape(nch, chunk))
-            ).reshape(npad // PAIR_WIDTH, 81))
+            ).reshape(npad // PAIR_WIDTH, 81)
+        # drop the chunk-padding tail rows: the host's idx2 numbering
+        # counts exactly gsz/width rows for this group
+        rows_parts.append(rows_g[:gsz // PAIR_WIDTH])
 
     # leftover per-observation stream (small patterns; see PairStrips)
     Rl, Wl = strips.wi_idx.shape

@@ -356,6 +356,38 @@ def test_pair_strips_groups_match_obs_csr(synthetic_problem):
         np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12,
                                    err_msg=f"min_group={min_group}")
 
+    # multi-chunk regression: chunk-padding tail rows must not shift
+    # the idx2 row numbering (this bug only fired at >1-chunk scale)
+    from rootba_tpu.solver import linearization as lz
+
+    strips = PairStripsIndex.from_host(
+        build_pair_strips(bp.buckets, N, min_group=1))
+    def count_padded(budget):
+        padded = 0
+        for g, lm in enumerate(strips.lm_idx):
+            bi_ = strips.group_bucket[g]
+            n_ = lin.buckets[bi_].cam_idx.shape[1]
+            gsz = lm.shape[0]
+            chunk = max(64, min(gsz, budget // (n_ * 27 * 4)))
+            chunk = chunk // 64 * 64
+            if -(-gsz // chunk) * chunk != gsz:
+                padded += 1
+        return padded
+
+    # find a chunk budget that actually produces a chunk-padded group
+    # (else this regression test tests nothing)
+    budget = next(b for b in (m * 64 * 27 * 4 for m in range(2, 65))
+                  if count_padded(b) > 0)
+    old = lz._PAIR_CHUNK_BYTES
+    try:
+        lz._PAIR_CHUNK_BYTES = budget
+        got = np.asarray(
+            csr_pair_outer_strips(W, W, lin.buckets, strips))
+    finally:
+        lz._PAIR_CHUNK_BYTES = old
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12,
+                               err_msg="multi-chunk strips")
+
 
 def test_sqrt_explicit_vs_implicit_rcs(synthetic_problem, dtype):
     """The explicit dense RCS assembled from the QR factors
