@@ -48,7 +48,7 @@ def main():
     lin = create_linearizer(bp, opts, "float32")
     state = initial_state(bp, "float32")
     lam = jnp.asarray(1e-4, jnp.float32)
-    buckets, csr, cam_flat, pairs = lin.consts
+    buckets, csr, cam_flat, pairs = lin.consts[:4]
     N = lin.num_cameras
 
     lins_shape, _, _ = jax.eval_shape(

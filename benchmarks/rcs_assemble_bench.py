@@ -42,7 +42,8 @@ def main():
     lin = create_linearizer(bp, opts, "float32")
     state = initial_state(bp, "float32")
     N = lin.num_cameras
-    buckets, csr, cam_flat, pairs = lin.consts
+    buckets, csr, cam_flat, pairs = lin.consts[:4]
+    cstrips = lin.consts[4] if len(lin.consts) > 4 else None
     assert pairs is not None, "explicit mode not active"
     lam = jnp.asarray(1e-4, jnp.float32)
     z = jnp.zeros((), jnp.float32)
@@ -57,18 +58,21 @@ def main():
     lins, pose_scale, _ = jax.jit(lin.stage1_pure)(
         lin.consts, state.cams, state.lm_ps)
     stage2 = sqrt_flat.flat_stage2(lins, buckets, cam_flat, lam, N,
-                                   csr=csr, with_precond=False)
+                                   csr=csr, with_precond=False,
+                                   cam_strips=cstrips)
 
     def st2_min(eps):
         return sqrt_flat.flat_stage2(lins, buckets, cam_flat, lam + eps,
-                                     N, csr=csr, with_precond=False)
+                                     N, csr=csr, with_precond=False,
+                                     cam_strips=cstrips)
 
     timed("stage2 no-precond", chain(st2_min), K, z)
 
     def asm(eps):
         s2 = stage2._replace(lam=stage2.lam + eps)
         return sqrt_flat.flat_assemble_rcs(lins, s2, cam_flat, pairs, N,
-                                           csr=csr, buckets=buckets)
+                                           csr=csr, buckets=buckets,
+                                           cam_strips=cstrips)
 
     timed("flat_assemble_rcs (full)", chain(asm), K, z)
 
@@ -99,6 +103,10 @@ def main():
 
     def dstrip(eps):
         Jp = lins.Jp + eps
+        if cstrips is not None:
+            from rootba_tpu.solver.linearization import cam_gram_strips
+            return cam_gram_strips(
+                [(Jp, Jp, 1.0), (W, W, -1.0)], buckets, cstrips)
         D = jnp.sum(Jp[:, :, :, None] * Jp[:, :, None, :], axis=1)
         dcon = D - jnp.sum(W[:, :, :, None] * W[:, :, None, :], axis=1)
         from rootba_tpu.solver.linearization import csr_cam_reduce

@@ -535,6 +535,92 @@ def build_pair_strips(buckets, num_cameras: int, width: int = 64,
     )
 
 
+class CamStrips(NamedTuple):
+    """Landmark-strip formulation of the per-camera reduce (the fast
+    path of CamCsr, same trick as PairStrips): per-camera sums of
+    per-observation contribution rows gather the observation's ENTIRE
+    landmark strip row from the per-bucket [L_b, n*F] table (few source
+    rows -> the ~5x-faster gather regime) and take the slot's static
+    column slice, instead of one row per obs from the [O, F] flat table
+    (millions of source rows at venice scale). Slots are grouped by
+    (bucket, within-landmark slot i); within a group they are sorted by
+    camera and padded to width-aligned single-camera runs, so the
+    two-level reduce is unchanged: concatenated per-group run sums ->
+    idx2 per camera. Groups below `min_group` slots route through a
+    per-observation leftover stream (identical to CamCsr economics);
+    their run rows follow the strip groups' rows on the shared row axis.
+    """
+
+    group_bucket: Tuple[int, ...]  # bucket index of each strip group
+    group_i: Tuple[int, ...]  # obs slot within the landmark
+    lm_idx: Tuple[np.ndarray, ...]  # per group [g_pad] int32 landmark
+    #   rows into the bucket's [L_b] axis, camera-sorted, pad = L_b
+    wi_idx: np.ndarray  # [R_obs, width] leftover flat obs index (pad=O)
+    idx2: np.ndarray  # [N, vmax] int32 global run-row ids (pad = R)
+
+
+def build_cam_strips(buckets, num_cameras: int, width: int = 64,
+                     min_group: int = 16384) -> CamStrips:
+    """Build the landmark-strip per-camera reduce index (see CamStrips)."""
+    recs = []  # big groups: (cam_sorted, lm_sorted)
+    meta = []
+    left = []  # small groups: (cam, flat_obs_pos) per slot
+    obs_off = 0
+    for bi, b in enumerate(buckets):
+        L, n = b.cam_idx.shape
+        for i in range(n):
+            valid = b.mask[:, i]
+            lm = np.nonzero(valid)[0].astype(np.int64)
+            if lm.size == 0:
+                continue
+            cam = b.cam_idx[lm, i].astype(np.int64)
+            if lm.size >= min_group:
+                order = np.argsort(cam, kind="stable")
+                recs.append((cam[order], lm[order]))
+                meta.append((bi, i, L))
+            else:
+                left.append((cam, obs_off + lm * n + i))
+        obs_off += L * n
+    num_obs_slots = obs_off
+
+    lm_groups, gb, gi = [], [], []
+    row_cam = []  # camera of each global run row, in emission order
+    for (cam, lm), (bi, i, L) in zip(recs, meta):
+        (out_lm,), rc = _pad_runs(cam, width, (lm, L))
+        lm_groups.append(out_lm.astype(np.int32))
+        gb.append(bi)
+        gi.append(i)
+        row_cam.append(rc)
+
+    if left:
+        lcam = np.concatenate([lv[0] for lv in left])
+        lpos = np.concatenate([lv[1] for lv in left])
+        order = np.argsort(lcam, kind="stable")
+        (wi_pad,), rc = _pad_runs(
+            lcam[order], width, (lpos[order], num_obs_slots))
+        wi_idx = wi_pad.reshape(-1, width).astype(np.int32)
+        row_cam.append(rc)
+    else:
+        wi_idx = np.zeros((0, width), np.int32)
+
+    row_cam = (np.concatenate(row_cam) if row_cam
+               else np.zeros(0, np.int64))
+    R = row_cam.size
+    counts = np.bincount(row_cam, minlength=num_cameras).astype(np.int64)
+    vmax = max(int(counts.max(initial=1)), 1)
+    idx2 = np.full((num_cameras, vmax), R, dtype=np.int64)
+    order = np.argsort(row_cam, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = (np.arange(R, dtype=np.int64)
+              - np.repeat(starts, counts))
+    idx2[row_cam[order], within] = order
+
+    return CamStrips(
+        group_bucket=tuple(gb), group_i=tuple(gi),
+        lm_idx=tuple(lm_groups), wi_idx=wi_idx,
+        idx2=idx2.astype(np.int32))
+
+
 def scatter_landmarks(
     bp: BucketedProblem, lm_p_buckets
 ) -> np.ndarray:

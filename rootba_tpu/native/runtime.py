@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 
 import numpy as np
 
@@ -24,12 +25,30 @@ def _lib_path() -> str:
     return os.path.join(os.path.dirname(__file__), "librootba_host.so")
 
 
+def _try_build() -> None:
+    """Best-effort `make` of the shared library on first use (it is a
+    build artifact, not checked in). Disable with ROOTBA_NO_NATIVE_BUILD=1."""
+    if os.environ.get("ROOTBA_NO_NATIVE_BUILD"):
+        return
+    here = os.path.dirname(__file__)
+    if not os.path.exists(os.path.join(here, "Makefile")):
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", here], check=False, timeout=120,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     path = _lib_path()
+    if not os.path.exists(path):
+        _try_build()
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)

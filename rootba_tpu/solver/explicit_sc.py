@@ -130,11 +130,15 @@ class SCStage2(NamedTuple):
     lam: jnp.ndarray
 
 
-def sc_rhs_and_hll(lins, buckets, lam, num_cameras, cam_csr=None):
+def sc_rhs_and_hll(lins, buckets, lam, num_cameras, cam_csr=None,
+                   cam_strips=None):
     """Per-bucket damped Hll^-1 and the RCS right-hand side
     b = Jp'(r - Jl Hll^-1 Jl' r) (landmark_block stage(),
     sc/landmark_block.hpp:342-364). Returns (b, Hll_invs)."""
-    from rootba_tpu.solver.linearization import csr_cam_reduce
+    from rootba_tpu.solver.linearization import (
+        cam_reduce_strips,
+        csr_cam_reduce,
+    )
 
     dtype = lins[0].Jp.dtype
     b = jnp.zeros((num_cameras, P9), dtype)
@@ -150,13 +154,16 @@ def sc_rhs_and_hll(lins, buckets, lam, num_cameras, cam_csr=None):
         hbl = jnp.einsum("lcd,ld->lc", Hll_inv, bl)
         rr = lin.r - jnp.einsum("lnrc,lc->lnr", lin.Jl, hbl)
         yb = jnp.einsum("lnrj,lnr->lnj", lin.Jp, rr)
-        if cam_csr is not None:
+        if cam_strips is not None or cam_csr is not None:
             b_parts.append(yb.reshape(-1, P9))
         else:
             b = b + jax.ops.segment_sum(
                 yb.reshape(-1, P9), bucket.cam_idx.reshape(-1),
                 num_segments=num_cameras)
-    if cam_csr is not None:
+    if cam_strips is not None:
+        b = cam_reduce_strips(jnp.concatenate(b_parts, axis=0), buckets,
+                              cam_strips)
+    elif cam_csr is not None:
         b = csr_cam_reduce(b_parts, cam_csr, num_cameras)
     return b, tuple(Hll_invs)
 
@@ -202,7 +209,7 @@ def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras,
 
 
 def sc_assemble_dense(lins, buckets, pair_csr, cam_flat, cam_csr, lam,
-                      num_cameras):
+                      num_cameras, cam_strips=None):
     """Dense-RCS SC assembly on the strict-pair CSR (see
     linearization.assemble_rcs_dense): pair block (c_i, c_j) =
     -T_i' Hll^-1 T_j with T = Jl'Jp factored as the two per-obs strips
@@ -210,7 +217,7 @@ def sc_assemble_dense(lins, buckets, pair_csr, cam_flat, cam_csr, lam,
     from rootba_tpu.solver.linearization import assemble_rcs_dense
 
     b, Hll_invs = sc_rhs_and_hll(lins, buckets, lam, num_cameras,
-                                 cam_csr=cam_csr)
+                                 cam_csr=cam_csr, cam_strips=cam_strips)
 
     T_parts, HT_parts, Jp_parts = [], [], []
     for lin, Hll_inv in zip(lins, Hll_invs):
@@ -233,7 +240,7 @@ def sc_assemble_dense(lins, buckets, pair_csr, cam_flat, cam_csr, lam,
         HT_flat, T_flat,
         [(Jp_flat, Jp_flat, 1.0), (HT_flat, T_flat, -1.0)],
         cam_flat, cam_csr, pair_csr, lam, num_cameras,
-        buckets=buckets)
+        buckets=buckets, cam_strips=cam_strips)
     return Hd, diag, b, Hll_invs
 
 
@@ -395,10 +402,19 @@ class SCLinearizer(LinearizerBase):
         self.dense_rcs = (self.mesh is None and 0 < self.num_cameras
                           <= opts.dense_rcs_max_cameras)
         self.pair_csr = None
+        cstrips = None
         if self.dense_rcs:
             self.pairs = None
             self.pair_csr = _build_pair_index(
                 self.bp, self.num_cameras, opts.pair_gather)
+            if opts.pair_gather == "strips":
+                from rootba_tpu.bal.bucketing import build_cam_strips
+                from rootba_tpu.solver.linearization import (
+                    CamStripsIndex,
+                )
+
+                cstrips = CamStripsIndex.from_host(
+                    build_cam_strips(self.bp.buckets, self.num_cameras))
         else:
             self.pairs = build_pair_structure(self.bp, self.num_cameras)
         cam_flat = jnp.concatenate(
@@ -406,7 +422,7 @@ class SCLinearizer(LinearizerBase):
         # buckets + RCS sparsity structure + camera-CSR as runtime args
         # (see LinearizerBase.consts: avoids giant embedded HLO constants)
         self.consts = (self.buckets, self.pairs, self.cam_csr,
-                       self.pair_csr, cam_flat)
+                       self.pair_csr, cam_flat, cstrips)
         precond_type = opts.preconditioner_type
         if precond_type not in (PreconditionerType.SCHUR_JACOBI,
                                 PreconditionerType.POWER_SCHUR_COMPLEMENT):
@@ -425,12 +441,12 @@ class SCLinearizer(LinearizerBase):
                                        csr=consts[2])
 
         def solve_fn(consts, lins, lam):
-            buckets, pairs, csr, pair_csr, cam_flat = consts
+            buckets, pairs, csr, pair_csr, cam_flat, cstrips_ = consts
             dtype = lins[0].Jp.dtype
             if self.dense_rcs:
                 H_dense, diag, b, Hll_invs = sc_assemble_dense(
                     lins, buckets, pair_csr, cam_flat, csr, lam,
-                    self.num_cameras)
+                    self.num_cameras, cam_strips=cstrips_)
                 stage2 = SCStage2(
                     H=jnp.zeros((0, P9, P9), dtype), b=b,
                     Hll_inv=Hll_invs, lam=jnp.asarray(lam, dtype))
@@ -570,7 +586,7 @@ class SCLinearizer(LinearizerBase):
 
 
 def e0_assemble_dense(lins, buckets, Hll_invs, pair_csr, cam_flat,
-                      cam_csr, lam, num_cameras):
+                      cam_csr, lam, num_cameras, cam_strips=None):
     """Assemble E0 = Jp' Jl Hll^-1 Jl' Jp as a z-space dense matrix.
 
     The reference never materializes E0 (PoBA's selling point is the
@@ -596,7 +612,8 @@ def e0_assemble_dense(lins, buckets, Hll_invs, pair_csr, cam_flat,
     # assemble returns diag(terms) - pairs + 0*I = -E0; negate
     negE0, _ = assemble_rcs_dense(
         HT_flat, T_flat, [(HT_flat, T_flat, -1.0)], cam_flat, cam_csr,
-        pair_csr, zero_lam, num_cameras, buckets=buckets)
+        pair_csr, zero_lam, num_cameras, buckets=buckets,
+        cam_strips=cam_strips)
     return -negE0
 
 
@@ -614,13 +631,22 @@ class PowerSCLinearizer(SCLinearizer):
         self.dense_rcs = (self.mesh is None and 0 < self.num_cameras
                           <= opts.dense_rcs_max_cameras)
         self.pair_csr = None
+        cstrips = None
         if self.dense_rcs:
             self.pair_csr = _build_pair_index(
                 self.bp, self.num_cameras, opts.pair_gather)
+            if opts.pair_gather == "strips":
+                from rootba_tpu.bal.bucketing import build_cam_strips
+                from rootba_tpu.solver.linearization import (
+                    CamStripsIndex,
+                )
+
+                cstrips = CamStripsIndex.from_host(
+                    build_cam_strips(self.bp.buckets, self.num_cameras))
         cam_flat = jnp.concatenate(
             [b.cam_idx.reshape(-1) for b in self.buckets])
         self.consts = (self.buckets, self.cam_csr, self.pair_csr,
-                       cam_flat)
+                       cam_flat, cstrips)
 
         from rootba_tpu.solver.linearization import compute_error_buckets
 
@@ -633,11 +659,12 @@ class PowerSCLinearizer(SCLinearizer):
                                        csr=consts[1])
 
         def solve_fn(consts, lins, lam):
-            buckets, csr, pair_csr, cam_flat = consts
+            buckets, csr, pair_csr, cam_flat, cstrips_ = consts
             dtype = lins[0].Jp.dtype
             # per-bucket damped Hll^-1 + RHS b (landmark_block stage())
             b, Hll_invs = sc_rhs_and_hll(lins, buckets, lam,
-                                         self.num_cameras, cam_csr=csr)
+                                         self.num_cameras, cam_csr=csr,
+                                         cam_strips=cstrips_)
 
             hpp = jp_gram_blockdiag(lins, buckets, lam,
                                     self.num_cameras)
@@ -651,7 +678,8 @@ class PowerSCLinearizer(SCLinearizer):
             if self.dense_rcs:
                 E0 = e0_assemble_dense(lins, buckets, Hll_invs,
                                        pair_csr, cam_flat, csr, lam,
-                                       self.num_cameras)
+                                       self.num_cameras,
+                                       cam_strips=cstrips_)
 
                 def apply_e0(v):
                     return sc_matvec_dense(E0, v)

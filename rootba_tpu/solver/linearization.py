@@ -371,6 +371,147 @@ def csr_pair_outer_strips(strip_a, strip_b, buckets,
     return jnp.sum(rows[strips.idx2], axis=1)  # [P, 81]
 
 
+@jax.tree_util.register_pytree_node_class
+class CamStripsIndex:
+    """Device copy of bucketing.CamStrips (see its docstring). Like
+    PairStripsIndex, (group_bucket, group_i) is static aux data driving
+    Python-level slicing in the reducers below."""
+
+    def __init__(self, group_bucket, group_i, lm_idx, wi_idx, idx2):
+        self.group_bucket = group_bucket
+        self.group_i = group_i
+        self.lm_idx = lm_idx
+        self.wi_idx = wi_idx
+        self.idx2 = idx2
+
+    def tree_flatten(self):
+        return ((self.lm_idx, self.wi_idx, self.idx2),
+                (self.group_bucket, self.group_i))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+    @staticmethod
+    def from_host(cs) -> "CamStripsIndex":
+        return CamStripsIndex(
+            group_bucket=tuple(cs.group_bucket),
+            group_i=tuple(cs.group_i),
+            lm_idx=tuple(jnp.asarray(x) for x in cs.lm_idx),
+            wi_idx=jnp.asarray(cs.wi_idx),
+            idx2=jnp.asarray(cs.idx2))
+
+
+def _strip_run_rows(buckets, strips: CamStripsIndex, flat_tables,
+                    row_fn, out_width):
+    """Shared two-level skeleton of the camera-strip reducers: for each
+    strip group, gather each table's [L_b, n*K] landmark strips by the
+    group's lm rows (chunked under lax.map), hand the slot's static
+    column slice of every table to row_fn -> [rows, out_width] run
+    sums; the leftover per-obs stream gathers flat rows directly.
+    Returns the [N, out_width] per-camera totals via idx2."""
+    offs = [0]
+    for b in buckets:
+        L, n = b.cam_idx.shape
+        offs.append(offs[-1] + L * n)
+
+    rows_parts = []
+    for g in range(len(strips.group_bucket)):
+        bi = strips.group_bucket[g]
+        i = strips.group_i[g]
+        L, n = buckets[bi].cam_idx.shape
+        lm = strips.lm_idx[g]
+        tabs = [jax.lax.slice_in_dim(f, offs[bi], offs[bi + 1],
+                                     axis=0).reshape(L, -1)
+                for f in flat_tables]
+        Ks = [t.shape[1] // n for t in tabs]  # per-table slot width
+
+        gsz = lm.shape[0]
+        width_bytes = sum(t.shape[1] for t in tabs) * 4
+        chunk = max(PAIR_WIDTH,
+                    min(gsz, _PAIR_CHUNK_BYTES // max(width_bytes, 1)))
+        chunk = chunk // PAIR_WIDTH * PAIR_WIDTH
+        npad = -(-gsz // chunk) * chunk
+        if npad != gsz:
+            lm = jnp.concatenate(
+                [lm, jnp.full((npad - gsz,), L, jnp.int32)])
+
+        def one(lm_c, i=i, Ks=Ks, tabs=tabs):
+            slices = []
+            for t, K in zip(tabs, Ks):
+                gr = jnp.take(t, lm_c, axis=0, mode="fill",
+                              fill_value=0.0)
+                slices.append(gr[:, i * K:(i + 1) * K])
+            rows = row_fn(slices)  # [chunk, out_width]
+            return jnp.sum(
+                rows.reshape(-1, PAIR_WIDTH, out_width), axis=1)
+
+        nch = npad // chunk
+        if nch == 1:
+            rows_g = one(lm)
+        else:
+            rows_g = jax.lax.map(
+                one, lm.reshape(nch, chunk)
+            ).reshape(npad // PAIR_WIDTH, out_width)
+        rows_parts.append(rows_g[:gsz // PAIR_WIDTH])
+
+    Rl, Wl = strips.wi_idx.shape
+    if Rl:
+        slices = [jnp.take(f, strips.wi_idx.reshape(-1), axis=0,
+                           mode="fill", fill_value=0.0)
+                  for f in flat_tables]
+        rows = row_fn(slices)
+        rows_parts.append(
+            jnp.sum(rows.reshape(Rl, Wl, out_width), axis=1))
+
+    rows = (rows_parts[0] if len(rows_parts) == 1
+            else jnp.concatenate(rows_parts, axis=0))
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((1, out_width), rows.dtype)], axis=0)
+    return jnp.sum(rows[strips.idx2], axis=1)  # [N, out_width]
+
+
+def cam_reduce_strips(flat: jnp.ndarray, buckets,
+                      strips: CamStripsIndex) -> jnp.ndarray:
+    """Per-camera sum of per-obs-slot [O, F] contribution rows in the
+    landmark-strip formulation (semantics of csr_cam_reduce; see
+    bucketing.CamStrips for why this gathers faster at scale)."""
+    F = flat.shape[1]
+    return _strip_run_rows(buckets, strips, [flat],
+                           lambda s: s[0], F)
+
+
+def cam_gram_strips(terms, buckets, strips: CamStripsIndex) -> jnp.ndarray:
+    """Per-camera gram blocks sum_obs sum_k A[o,k,a] B[o,k,b] as [N,81]
+    rows, fused into the strip gather-reduce (no [O,81]
+    materialization). terms = [(A [O,K,9], B, sign)]; tables shared
+    between terms/sides are gathered once."""
+    tabs = []
+    ids = {}
+    term_ix = []
+    for A, B, sign in terms:
+        for M in (A, B):
+            if id(M) not in ids:
+                ids[id(M)] = len(tabs)
+                tabs.append(M.reshape(M.shape[0], -1))
+        term_ix.append((ids[id(A)], ids[id(B)], sign,
+                        A.shape[1]))
+
+    def row_fn(slices):
+        out = None
+        for ia, ib, sign, K in term_ix:
+            sa = slices[ia].reshape(-1, K, 9)
+            sb = slices[ib].reshape(-1, K, 9)
+            A_ = jnp.repeat(sa, 9, axis=2)
+            B_ = jnp.tile(sb, (1, 1, 9))
+            prod = jnp.sum(A_ * B_, axis=1)  # [rows, 81]
+            prod = prod if sign == 1.0 else sign * prod
+            out = prod if out is None else out + prod
+        return out
+
+    return _strip_run_rows(buckets, strips, tabs, row_fn, 81)
+
+
 class _SelfPairView(NamedTuple):
     """Adapter presenting a CamCsrIndex as a pair index whose two sides
     are the same observation (for per-camera gram reductions through
@@ -388,7 +529,8 @@ class _SelfPairView(NamedTuple):
 
 
 def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
-                       pairs, lam, num_cameras, buckets=None):
+                       pairs, lam, num_cameras, buckets=None,
+                       cam_strips=None):
     """Dense [9N, 9N] reduced camera system from per-obs factors:
 
         H = sum over a camera's obs of (sum_terms sign * A_i' B_i)
@@ -417,7 +559,9 @@ def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
     else:
         Hup = csr_pair_outer(strip_a, strip_b, pairs)  # [P, 81]
 
-    if csr is not None:
+    if cam_strips is not None:
+        diag81 = cam_gram_strips(diag_terms, buckets, cam_strips)
+    elif csr is not None:
         view = _SelfPairView.of(csr)
         diag81 = jnp.zeros((N, P9_ * P9_), dtype)
         for A, B, sign in diag_terms:

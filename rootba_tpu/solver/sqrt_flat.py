@@ -103,7 +103,7 @@ def _per_landmark_broadcast(ts, buckets):
 
 def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
                    huber_parameter, use_valid_only, jacobi_eps,
-                   jacobi_scaling, csr, num_cameras):
+                   jacobi_scaling, csr, num_cameras, cam_strips=None):
     """Stage 1: linearize + scale_Jl_cols + jacobi pose scaling, all
     buckets in one pass (reference get_stage1 fusion,
     linearization_qr.hpp:634-712)."""
@@ -153,7 +153,11 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
 
     # pose jacobi scaling (add_Jp_diag2 -> linearizor_qr.cpp:104-110)
     d2 = jnp.sum(Jp * Jp, axis=1)  # [O,9]
-    if csr is not None:
+    if cam_strips is not None:
+        from rootba_tpu.solver.linearization import cam_reduce_strips
+
+        diag2 = cam_reduce_strips(d2, buckets, cam_strips)
+    elif csr is not None:
         diag2 = csr_cam_reduce([d2], csr, num_cameras)
     else:
         diag2 = jax.ops.segment_sum(d2, cam_flat,
@@ -169,7 +173,8 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
 
 def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
                 *, precond_jacobi: bool = False,
-                csr=None, with_precond: bool = True) -> FlatStage2:
+                csr=None, with_precond: bool = True,
+                cam_strips=None) -> FlatStage2:
     """Stage 2 (reference get_stage2, linearization_qr.hpp:716-815):
     landmark damping via augmented thin-QR, RHS, preconditioner.
 
@@ -203,7 +208,11 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
         _per_landmark_sum(p, buckets, offs), buckets)
     wp = lin.r - jnp.sum(Q1h * t3[:, None, :], axis=2)
     yb = jnp.sum(lin.Jp * wp[:, :, None], axis=1)
-    if csr is not None:
+    if cam_strips is not None:
+        from rootba_tpu.solver.linearization import cam_reduce_strips
+
+        b = cam_reduce_strips(yb, buckets, cam_strips)
+    elif csr is not None:
         b = csr_cam_reduce([yb], csr, num_cameras)
     else:
         b = jax.ops.segment_sum(yb, cam_flat, num_segments=num_cameras)
@@ -242,7 +251,8 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
 
 
 def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, cam_flat, pairs,
-                      num_cameras, csr=None, buckets=None):
+                      num_cameras, csr=None, buckets=None,
+                      cam_strips=None):
     """Assemble the explicit reduced camera system of the sqrt solver,
 
         H = Jp'Jp - (Q1'Jp)'(Q1'Jp) + lam I = (Q2'Jp)'(Q2'Jp) + lam I,
@@ -276,7 +286,8 @@ def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, cam_flat, pairs,
     # inside the gather-reduce -- no [O,81] materialization)
     return assemble_rcs_dense(
         W, W, [(lin.Jp, lin.Jp, 1.0), (W, W, -1.0)], cam_flat, csr,
-        pairs, stage2.lam, num_cameras, buckets=buckets)
+        pairs, stage2.lam, num_cameras, buckets=buckets,
+        cam_strips=cam_strips)
 
 
 def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,
@@ -385,7 +396,18 @@ class FlatSqrtLinearizer(LinearizerBase):
 
                 pairs = PairCsrIndex.from_host(build_pair_csr(
                     self.bp.buckets, N, grid_n=grid))
-        self.consts = (self.buckets, self.cam_csr, cam_flat, pairs)
+        # camera-strip reduce index (same small-table gather economics
+        # as the pair strips; see bucketing.CamStrips) for the RHS /
+        # diagonal-block / diag2 per-camera reductions
+        cstrips = None
+        if explicit and opts.pair_gather == "strips":
+            from rootba_tpu.bal.bucketing import build_cam_strips
+            from rootba_tpu.solver.linearization import CamStripsIndex
+
+            cstrips = CamStripsIndex.from_host(
+                build_cam_strips(self.bp.buckets, N))
+        self.consts = (self.buckets, self.cam_csr, cam_flat, pairs,
+                       cstrips)
         use_valid = opts.use_projection_validity_check()
 
         def error_fn(consts, cams, lm_ps):
@@ -398,13 +420,14 @@ class FlatSqrtLinearizer(LinearizerBase):
 
         def stage1_fn(consts, cams, lm_ps):
             buckets, csr, cam_flat = consts[:3]
+            cstrips_ = consts[4] if len(consts) > 4 else None
             return flat_linearize(
                 cams, lm_ps, buckets, cam_flat, self.robust_norm,
                 self.huber, use_valid, self.jacobi_eps,
-                opts.jacobi_scaling, csr, N)
+                opts.jacobi_scaling, csr, N, cam_strips=cstrips_)
 
         def solve_fn(consts, lins, lam):
-            buckets, csr, cam_flat, pairs = consts
+            buckets, csr, cam_flat, pairs, cstrips_ = consts
             if explicit:
                 # explicit dense RCS: assemble H = (Q2'Jp)'(Q2'Jp)+lam I
                 # once, then CG is pure GEMVs (no per-iteration
@@ -414,10 +437,11 @@ class FlatSqrtLinearizer(LinearizerBase):
                 stage2 = flat_stage2(
                     lins, buckets, cam_flat, lam, N,
                     precond_jacobi=precond_jacobi, csr=csr,
-                    with_precond=precond_jacobi)
+                    with_precond=precond_jacobi, cam_strips=cstrips_)
                 Hd, diag = flat_assemble_rcs(lins, stage2, cam_flat,
                                              pairs, N, csr=csr,
-                                             buckets=buckets)
+                                             buckets=buckets,
+                                             cam_strips=cstrips_)
                 if not precond_jacobi:
                     chol = chol9(diag)
                     stage2 = stage2._replace(precond_chol=chol)
