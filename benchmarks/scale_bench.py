@@ -23,6 +23,7 @@ SIZES = {
     "dubrovnik": (356, 226730, 1255268),
     "venice": (1778, 993923, 5001946),
     "final4585": (4585, 1324582, 9125125),
+    "final13682": (13682, 4456117, 28987644),
 }
 
 

@@ -215,6 +215,13 @@ class SolverOptions:
         2_000_000, help="problem size (total observations) above which "
                         "lm_loop='auto' switches from the fused device "
                         "loop to host-driven stages")
+    host_fused_attempt: bool = opt(
+        True, help="host LM loop: run solve+apply+error as ONE device "
+                   "dispatch per backtracking attempt (3x fewer "
+                   "host<->device round trips per LM iteration; "
+                   "per-stage times are then attributed from the "
+                   "attempt total). Disable for exact per-stage "
+                   "timing breakdowns")
     num_devices: int = opt(
         0, help="number of devices to shard landmark blocks over (0 = all)")
     checkpoint_path: str = opt(

@@ -193,6 +193,59 @@ class LinearizerBase:
     def set_state(self, state: BAState):
         self.state = state
 
+    def attempt(self, lam: float):
+        """One LM backtracking attempt -- solve(lam) + apply + error --
+        as a single device dispatch (the host loop otherwise pays three
+        sync'd round trips per attempt; on tunneled TPUs each costs
+        ~0.1 s). Host keeps accept/reject control: returns
+        (new_state, l_diff, ri2, cg_iters, inc_finite) and the caller
+        decides whether to set_state(new_state).
+
+        Composes the same pure stages the fused whole-solve driver uses
+        (solver/fused_lm.py); semantics identical to separate
+        solve/apply/compute_error calls."""
+        if getattr(self, "_attempt_fn", None) is None:
+            solve_pure = self.solve_pure
+            apply_pure = self.apply_pure
+            error_pure = self.error_pure
+
+            def attempt_fn(consts, cams, lm_ps, lins, pose_scale, lam_):
+                inc, stage2, cg_iters, cg_term = solve_pure(
+                    consts, lins, lam_)
+                inc_finite = jnp.all(jnp.isfinite(inc))
+                safe_inc = jnp.where(inc_finite, inc,
+                                     jnp.zeros_like(inc))
+                cams2, lm_ps2, l_diff = apply_pure(
+                    consts, cams, lm_ps, lins, stage2, pose_scale,
+                    safe_inc)
+                ri2 = error_pure(consts, cams2, lm_ps2)
+                return (cams2, lm_ps2, l_diff, ri2, cg_iters, cg_term,
+                        inc_finite)
+
+            self._attempt_fn = jax.jit(attempt_fn)
+
+        t0 = time.monotonic()
+        lam_arr = jnp.asarray(lam, self.dtype)
+        cams2, lm_ps2, l_diff, ri2, cg_iters, cg_term, inc_finite = sync(
+            self._attempt_fn(self.consts, self.state.cams,
+                             self.state.lm_ps, self._lins,
+                             self._pose_scale, lam_arr))
+        dt = time.monotonic() - t0
+        if self.it_summary is not None:
+            self.it_summary.stage2_time_in_seconds = dt * 0.1
+            self.it_summary.solve_reduced_system_time_in_seconds = dt * 0.7
+            self.it_summary.back_substitution_time_in_seconds = dt * 0.1
+            self.it_summary.residual_evaluation_time_in_seconds += dt * 0.1
+            self.it_summary.linear_solver_iterations = int(cg_iters)
+            self.it_summary.linear_solver_message = (
+                f"cg_term={int(cg_term)} iters={int(cg_iters)}")
+            self.it_summary.linear_solver_type = self.linear_solver_type
+        if self.summary is not None:
+            self.summary.num_linear_solves += 1
+            self.summary.num_residual_evaluations += 1
+        return (BAState(cams=cams2, lm_ps=lm_ps2), float(l_diff),
+                ResidualInfoHost.from_device(ri2), bool(inc_finite))
+
     def linearize(self):
         raise NotImplementedError
 
@@ -465,6 +518,12 @@ def optimize_lm(
     timer_minimizer = time.monotonic()
 
     validity_check = options.use_projection_validity_check()
+    # fused attempt: solve+apply+error in one dispatch (see
+    # LinearizerBase.attempt); the top-of-loop error is then reused from
+    # the previous attempt's evaluation (the state is unchanged between
+    # them, so the value is identical)
+    use_attempt = bool(options.host_fused_attempt)
+    ri_cache: Optional[ResidualInfoHost] = None
     terminated = False
     it = resume_it if resume_it is not None else 0
     while it <= max_lm_iter and not terminated:
@@ -472,7 +531,11 @@ def optimize_lm(
         linearizer.start_iteration(it_summary)
         timer_iteration = time.monotonic()
 
-        ri = linearizer.compute_error()
+        if ri_cache is not None:
+            ri = ri_cache
+        else:
+            ri = linearizer.compute_error()
+            ri_cache = ri
         if verbose:
             print(f"Iteration {it}, "
                   f"{error_summary_oneline(ri, validity_check)}")
@@ -507,8 +570,24 @@ def optimize_lm(
                 timer_iteration = time.monotonic()
             j += 1
 
-            inc = linearizer.solve(lam)
-            inc_finite = bool(jnp.all(jnp.isfinite(inc)))
+            if use_attempt:
+                backup_state = linearizer.state
+                try:
+                    new_state, l_diff, ri2, inc_finite = (
+                        linearizer.attempt(lam))
+                except jax.errors.JaxRuntimeError as e:
+                    # the one-dispatch attempt program can exceed the
+                    # compile service's memory at very large problem
+                    # sizes where the separate stages still compile;
+                    # fall back to per-stage dispatches for this run
+                    if verbose:
+                        print(f"\t[attempt fusion disabled: compile "
+                              f"failed: {str(e).splitlines()[0][:120]}]")
+                    use_attempt = False
+                    linearizer._attempt_fn = None
+            if not use_attempt:
+                inc = linearizer.solve(lam)
+                inc_finite = bool(jnp.all(jnp.isfinite(inc)))
 
             if not inc_finite:
                 it_summary.step_is_valid = False
@@ -536,11 +615,13 @@ def optimize_lm(
                         f"damping lambda of {max_lambda}")
                 continue
 
-            backup_state = linearizer.state
-            new_state, l_diff = linearizer.apply(inc)
-            linearizer.set_state(new_state)
-
-            ri2 = linearizer.compute_error()
+            if use_attempt:
+                linearizer.set_state(new_state)
+            else:
+                backup_state = linearizer.state
+                new_state, l_diff = linearizer.apply(inc)
+                linearizer.set_state(new_state)
+                ri2 = linearizer.compute_error()
             it_summary.cost = ri2
 
             if not math.isfinite(l_diff):
@@ -573,6 +654,7 @@ def optimize_lm(
                     and step_quality > options.min_relative_decrease)
 
             if it_summary.step_is_successful:
+                ri_cache = ri2
                 cum = time.monotonic() - timer_total
                 if verbose:
                     print(f"\t[Success] lambda: {lam:.1e}, cg_iter: "
@@ -618,6 +700,7 @@ def optimize_lm(
                 finish_iteration(summary, it_summary)
 
                 linearizer.set_state(backup_state)
+                ri_cache = ri
                 it += 1
                 maybe_checkpoint()
                 if lam > max_lambda:
