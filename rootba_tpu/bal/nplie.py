@@ -96,3 +96,20 @@ def quat_from_matrix(R: np.ndarray) -> np.ndarray:
         ),
     )
     return quat_normalize(q)
+
+
+def so3_log(q: np.ndarray) -> np.ndarray:
+    """Quaternion (w,x,y,z) -> rotation vector (inverse of so3_exp),
+    batched; small-angle-safe Taylor branch."""
+    q = np.asarray(q, dtype=np.float64)
+    q = q * np.where(q[..., 0:1] < 0, -1.0, 1.0)  # w >= 0: theta in [0, pi]
+    w = q[..., 0]
+    v = q[..., 1:4]
+    vn2 = np.sum(v * v, axis=-1)
+    vn = np.sqrt(vn2)
+    theta = 2.0 * np.arctan2(vn, w)
+    small = vn2 < 1e-16
+    # omega = theta * v / |v|; for small angle theta/|v| ~ 2/w (1 + ...)
+    scale = np.where(small, 2.0 / np.where(w == 0, 1.0, w),
+                     theta / np.where(small, 1.0, vn))
+    return scale[..., None] * v

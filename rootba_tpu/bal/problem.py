@@ -221,6 +221,32 @@ class BalProblem:
             z["cam_q"], z["cam_t"], z["cam_intr"], z["lm_p"],
             z["obs_lm"], z["obs_cam"], z["obs_uv"])
 
+    def save_bal(self, path: str):
+        """Write the problem in BAL text format, undoing the loader's
+        axis-flip convention (load_bal / reference bal_problem.cpp:
+        190-283: obs y negated, camera frame rotated by diag(1,-1,-1))
+        so the output is readable by the reference and any other BAL
+        consumer."""
+        flip_q = np.array([0.0, 1.0, 0.0, 0.0])  # 180deg about x; self-inverse
+        q_raw = nplie.quat_mul(
+            np.broadcast_to(flip_q, (self.num_cameras, 4)), self.cam_q)
+        rod = nplie.so3_log(q_raw)
+        t_raw = self.cam_t @ _AXIS_FLIP.T
+        lines = [f"{self.num_cameras} {self.num_landmarks} "
+                 f"{self.num_observations}"]
+        uv = self.obs_uv
+        for k in range(self.num_observations):
+            lines.append(f"{self.obs_cam[k]} {self.obs_lm[k]} "
+                         f"{uv[k, 0]:.16e} {-uv[k, 1]:.16e}")
+        for c in range(self.num_cameras):
+            for v in (*rod[c], *t_raw[c], *self.cam_intr[c]):
+                lines.append(f"{v:.16e}")
+        for m in range(self.num_landmarks):
+            for v in self.lm_p[m]:
+                lines.append(f"{v:.16e}")
+        with open(path, "w") as fp:
+            fp.write("\n".join(lines) + "\n")
+
 
 # ---------------------------------------------------------------------------
 # loaders

@@ -46,7 +46,14 @@ def run_app(summary_text: str, argv: Optional[List[str]] = None,
         import time
 
         t0 = time.monotonic()
-        problem.save_npz(options.dataset.output_optimized_path)
+        out_path = options.dataset.output_optimized_path
+        # .npz -> binary (cereal stand-in); .txt/.bal -> reference-
+        # readable BAL text (reference saves cereal via save_rootba,
+        # bal_problem.cpp:557-568; the text export restores interop)
+        if out_path.endswith((".txt", ".bal")):
+            problem.save_bal(out_path)
+        else:
+            problem.save_npz(out_path)
         timing.postprocess_time = time.monotonic() - t0
 
     save_log(options.solver.log, solver_summary, dataset_summary, timing,

@@ -193,14 +193,8 @@ class SolverOptions:
     kernel_layout: str = opt(
         "flat", help="'flat' (default) uses one [O,2,9]-style per-obs "
                      "array per quantity concatenated across buckets; "
-                     "'cm' stores Jp in camera-major CSR-slot order so "
-                     "all per-camera reductions are reshape-sums "
-                     "(fastest measured on TPU, single device); "
                      "'einsum' uses per-bucket [L,n,2,9] batched tensors "
-                     "(used automatically for multi-device meshes); "
-                     "'planar' uses [feature, landmark] SoA tensors "
-                     "(experimental; slower due to op-granularity "
-                     "overheads)")
+                     "(used automatically for multi-device meshes)")
     lm_loop: str = opt(
         "auto", help="'fused' runs the whole LM minimization as one "
                      "device program (fast; per-iteration timings are "
@@ -220,8 +214,16 @@ class SolverOptions:
                    "dispatch per backtracking attempt (3x fewer "
                    "host<->device round trips per LM iteration; "
                    "per-stage times are then attributed from the "
-                   "attempt total). Disable for exact per-stage "
-                   "timing breakdowns")
+                   "attempt total using measured calibration "
+                   "fractions and flagged timing_attributed in the "
+                   "log). Disable for exact per-stage timing on every "
+                   "iteration")
+    timing_calibration_interval: int = opt(
+        8, help="host LM loop with host_fused_attempt: every this many "
+                "attempts, run the stages as separate measured "
+                "dispatches to calibrate the per-stage time fractions "
+                "used to attribute the fused attempts' totals "
+                "(0 disables calibration)")
     num_devices: int = opt(
         0, help="number of devices to shard landmark blocks over (0 = all)")
     checkpoint_path: str = opt(
@@ -264,6 +266,15 @@ class SolverOptions:
                      "on a single device when num_cameras <= "
                      "dense_rcs_max_cameras and the preconditioner is "
                      "SCHUR_JACOBI")
+    compensated_accumulation: bool = opt(
+        True, help="f32 mode: accumulate the CG dot products and the "
+                   "model-cost decrease l_diff with error-free "
+                   "transforms (double-float carry, ops/compensated.py)"
+                   " -- the sums that cancel catastrophically at "
+                   "multi-million-observation scale and distort the "
+                   "rho step-acceptance test. No effect under "
+                   "use_double; the VMEM Pallas CG kernel keeps plain "
+                   "f32 dots (small on-chip systems)")
     bucket_pow2_from: int = opt(
         9, help="bucket obs-counts exactly up to this, then pad to pow2 "
                "(mirrors the reference's static-size landmark blocks 2..8, "

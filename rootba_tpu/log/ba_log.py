@@ -40,6 +40,10 @@ _ITER_FIELDS = [
     "compute_gradient_time", "stage2_time", "prepare_time",
     "solve_reduced_system_time", "back_substitution_time",
     "update_cameras_time", "resident_memory", "resident_memory_peak",
+    # TPU addition (not in ba_log.hpp): marks iterations whose stage
+    # timings are attributed from a fused dispatch's measured total
+    # (via the latest calibration pass) instead of per-stage timers
+    "timing_attributed",
 ]
 
 
@@ -78,6 +82,7 @@ def _iteration_record(it: IterationSummary, prev: Optional[dict]) -> dict:
         "update_cameras_time": it.update_cameras_time_in_seconds,
         "resident_memory": it.resident_memory,
         "resident_memory_peak": it.resident_memory_peak,
+        "timing_attributed": it.timing_attributed,
         "grad_projected_norm": 0.0,
         "grad_projected_max_norm": 0.0,
     }
@@ -197,6 +202,8 @@ def build_log_dict(
             "num_threads_available":
                 solver_summary.num_threads_available,
             "resident_memory_peak": solver_summary.resident_memory_peak,
+            "timing_attributed": any(
+                it.timing_attributed for it in solver_summary.iterations),
         },
     }
     result["_type"] = "rootba"

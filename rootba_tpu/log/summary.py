@@ -120,6 +120,14 @@ class IterationSummary:
     resident_memory: int = 0
     resident_memory_peak: int = 0
 
+    # True when the stage timings above were ATTRIBUTED from a fused
+    # dispatch's total using the most recent measured calibration pass,
+    # rather than each measured on its own dispatch (TPU addition: the
+    # reference measures every stage on the host,
+    # bal_bundle_adjustment.cpp:56-154; a fused device program has no
+    # per-stage host timer boundaries)
+    timing_attributed: bool = False
+
 
 @dataclass
 class SolverSummary:

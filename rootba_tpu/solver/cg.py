@@ -37,6 +37,14 @@ def _dot(a, b):
     return jnp.vdot(a.ravel(), b.ravel())
 
 
+def _make_dot(compensated: bool):
+    if not compensated:
+        return _dot
+    from rootba_tpu.ops.compensated import comp_dot
+
+    return lambda a, b: comp_dot(a.ravel(), b.ravel())
+
+
 def _zero_or_inf(x):
     return (x == 0) | jnp.isinf(x)
 
@@ -51,9 +59,17 @@ def pcg(
     residual_reset_period: int = 10,
     q_tolerance: float = 0.1,
     r_tolerance: float = -1.0,
+    compensated: bool = False,
 ) -> CGResult:
-    """Solve H x = b. x0 = 0. Shapes of b are free-form (typically [N,9])."""
+    """Solve H x = b. x0 = 0. Shapes of b are free-form (typically [N,9]).
+
+    compensated=True computes the rho / p'q / Nash-q1 dot products with
+    error-free-transform accumulation (ops.compensated.comp_dot): under
+    f32 the zeta = i(Q1-Q0)/Q1 termination test differs two large
+    near-equal model values, where plain f32 dots can trigger early or
+    late termination at multi-million-observation scale (SURVEY §7.6)."""
     dtype = b.dtype
+    _dot = _make_dot(compensated)
     norm_b = jnp.linalg.norm(b.ravel())
     tol_r = jnp.asarray(r_tolerance, dtype) * norm_b
 

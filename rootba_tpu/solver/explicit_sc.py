@@ -344,10 +344,16 @@ def power_series_solve(apply_hpp_inv, apply_e0, b, order: int,
     return acc, i
 
 
-def sc_back_substitute(lins, buckets, Hll_invs, lm_ps, pose_inc):
+def sc_back_substitute(lins, buckets, Hll_invs, lm_ps, pose_inc,
+                       compensated: bool = False):
     """Reference sc/landmark_block.hpp:409-446 back_substitute:
-    dl = -Hll_lam^-1 Jl'(r + Jp dp); l_diff -= v'(0.5 v + r)."""
-    l_diff = jnp.zeros((), jnp.result_type(pose_inc.dtype, jnp.float32))
+    dl = -Hll_lam^-1 Jl'(r + Jp dp); l_diff -= v'(0.5 v + r).
+
+    compensated=True accumulates l_diff with error-free transforms
+    (see ops.compensated; the sum cancels under f32 near convergence)."""
+    acc_dtype = jnp.result_type(pose_inc.dtype, jnp.float32)
+    l_hi = jnp.zeros((), acc_dtype)
+    l_lo = jnp.zeros((), acc_dtype)
     new_lm_ps = []
     for lin, bucket, Hll_inv, lm_p in zip(lins, buckets, Hll_invs, lm_ps):
         xg = pose_inc[bucket.cam_idx]
@@ -358,11 +364,19 @@ def sc_back_substitute(lins, buckets, Hll_invs, lm_ps, pose_inc):
         dl_s = jnp.where(bucket.lm_mask[:, None], dl_s, 0.0)
 
         v = w + jnp.einsum("lnrc,lc->lnr", lin.Jl, dl_s)
-        l_diff = l_diff - jnp.sum(v * (0.5 * v + lin.r))
+        parts = (v * (0.5 * v + lin.r)).astype(acc_dtype)
+        if compensated:
+            from rootba_tpu.ops.compensated import comp_sum2, two_sum
+
+            bhi, blo = comp_sum2(parts)
+            l_hi, e = two_sum(l_hi, -bhi)
+            l_lo = l_lo + e - blo
+        else:
+            l_hi = l_hi - jnp.sum(parts)
 
         dl = dl_s * lin.Jl_scale
         new_lm_ps.append(lm_p + dl.astype(lm_p.dtype))
-    return tuple(new_lm_ps), l_diff
+    return tuple(new_lm_ps), l_hi + l_lo
 
 
 # ---------------------------------------------------------------------------
@@ -392,10 +406,9 @@ class SCLinearizer(LinearizerBase):
     """SCHUR_COMPLEMENT solver (reference solver/linearizor_sc.cpp)."""
 
     linear_solver_type = "bal_sc"
-
-    def __init__(self, bp, options: SolverOptions, dtype, mesh=None):
-        self.bp = bp
-        super().__init__(bp, options, dtype, mesh)
+    # the reference logs the SC assembly as prepare_time
+    # (linearizor_sc.cpp get_Hb span)
+    prepare_field = "prepare_time_in_seconds"
 
     def _build(self):
         opts = self.options
@@ -440,9 +453,15 @@ class SCLinearizer(LinearizerBase):
             return self._stage1_common(consts[0], cams, lm_ps,
                                        csr=consts[2])
 
-        def solve_fn(consts, lins, lam):
+        use_power_precond = (
+            precond_type == PreconditionerType.POWER_SCHUR_COMPLEMENT)
+
+        def stage2_fn(consts, lins, lam):
+            """Assembly + preconditioner materials (reference get_Hb +
+            preconditioner construction, linearizor_sc.cpp:112-177)."""
             buckets, pairs, csr, pair_csr, cam_flat, cstrips_ = consts
             dtype = lins[0].Jp.dtype
+            H_dense = None
             if self.dense_rcs:
                 H_dense, diag, b, Hll_invs = sc_assemble_dense(
                     lins, buckets, pair_csr, cam_flat, csr, lam,
@@ -450,35 +469,23 @@ class SCLinearizer(LinearizerBase):
                 stage2 = SCStage2(
                     H=jnp.zeros((0, P9, P9), dtype), b=b,
                     Hll_inv=Hll_invs, lam=jnp.asarray(lam, dtype))
-
-                def matvec(x):
-                    return sc_matvec_dense(H_dense, x)
             else:
                 stage2 = sc_assemble(lins, buckets, pairs, lam,
                                      self.num_cameras, cam_csr=csr)
                 diag = None
 
-                def matvec(x):
-                    return sc_matvec(stage2, pairs, self.num_cameras, x)
-
-            if precond_type == PreconditionerType.SCHUR_JACOBI:
+            chol = hpp_chol = E0 = None
+            if not use_power_precond:
                 if diag is None:
                     diag = sc_diag_blocks(stage2, pairs,
                                           self.num_cameras)
                 chol = chol9(diag)
-
-                def precond(r):
-                    return precond_apply(chol, r)
             else:
                 jacobi = jp_gram_blockdiag(lins, buckets, lam,
                                            self.num_cameras)
                 # SPD -> Cholesky solves (reference uses llt().solve(I),
                 # preconditioner.hpp:169-174; solves are equivalent)
                 hpp_chol = chol9(jacobi)
-
-                def apply_hpp_inv(v):
-                    return precond_apply(hpp_chol, v)
-
                 if self.dense_rcs:
                     # E0 = diag_embed(Jp'Jp) - H + lam I: derive the
                     # dense power-series operator from the already-
@@ -496,7 +503,26 @@ class SCLinearizer(LinearizerBase):
                                    if a_ == b_ else 0.0))
                     E0 = Dz - H_dense + lam.astype(H_dense.dtype) * \
                         jnp.eye(H_dense.shape[0], dtype=H_dense.dtype)
+            return stage2, H_dense, chol, hpp_chol, E0
 
+        def lsolve_fn(consts, lins, aux):
+            buckets, pairs, csr, pair_csr, cam_flat, cstrips_ = consts
+            stage2, H_dense, chol, hpp_chol, E0 = aux
+            if self.dense_rcs:
+                def matvec(x):
+                    return sc_matvec_dense(H_dense, x)
+            else:
+                def matvec(x):
+                    return sc_matvec(stage2, pairs, self.num_cameras, x)
+
+            if not use_power_precond:
+                def precond(r):
+                    return precond_apply(chol, r)
+            else:
+                def apply_hpp_inv(v):
+                    return precond_apply(hpp_chol, v)
+
+                if self.dense_rcs:
                     def apply_e0(v):
                         return sc_matvec_dense(E0, v)
                 else:
@@ -520,69 +546,27 @@ class SCLinearizer(LinearizerBase):
                 max_num_iterations=opts.max_linear_solver_iterations,
                 q_tolerance=opts.eta,
                 r_tolerance=-1.0,
+                compensated=self.compensated,
             )
             return (-res.x, stage2, res.num_iterations,
                     res.termination_type)
 
         def apply_fn(consts, cams, lm_ps, lins, stage2, pose_scale, inc):
             new_lm_ps, l_diff = sc_back_substitute(
-                lins, consts[0], stage2.Hll_inv, lm_ps, inc)
+                lins, consts[0], stage2.Hll_inv, lm_ps, inc,
+                compensated=self.compensated)
             inc_scaled = inc * pose_scale
             q, t = lie.apply_inc_pose(cams.q, cams.t, inc_scaled[:, :6])
             intr = cams.intr + inc_scaled[:, 6:9]
             return CamState(q=q, t=t, intr=intr), new_lm_ps, l_diff
 
-        # pure (untraced) stages, composable by the fused LM driver
+        # pure (untraced) stages; LinearizerBase._finalize_build
+        # composes solve_pure and jits, the base drives the host loop
         self.error_pure = error_fn
         self.stage1_pure = stage1_fn
-        self.solve_pure = solve_fn
+        self.stage2_pure = stage2_fn
+        self.lsolve_pure = lsolve_fn
         self.apply_pure = apply_fn
-        self._error_fn = jax.jit(error_fn)
-        self._stage1_fn = jax.jit(stage1_fn)
-        self._solve_fn = jax.jit(solve_fn)
-        self._apply_fn = jax.jit(apply_fn)
-
-    # linearize/solve/apply share the Sqrt implementations' shape
-    def linearize(self):
-        t0 = time.monotonic()
-        lins, pose_scale, failures = sync(
-            self._stage1_fn(self.consts, self.state.cams, self.state.lm_ps))
-        if int(failures) > 0:
-            raise FloatingPointError("numerical failure during linearization")
-        self._lins = lins
-        self._pose_scale = pose_scale
-        if self.it_summary is not None:
-            self.it_summary.stage1_time_in_seconds = time.monotonic() - t0
-            self.it_summary.jacobian_evaluation_time_in_seconds = (
-                self.it_summary.stage1_time_in_seconds)
-        if self.summary is not None:
-            self.summary.num_jacobian_evaluations += 1
-
-    def solve(self, lam: float):
-        t0 = time.monotonic()
-        lam_arr = jnp.asarray(lam, self.dtype)
-        inc, stage2, cg_iters, cg_term = sync(
-            self._solve_fn(self.consts, self._lins, lam_arr))
-        self._stage2 = stage2
-        if self.it_summary is not None:
-            dt = time.monotonic() - t0
-            self.it_summary.prepare_time_in_seconds = dt * 0.5
-            self.it_summary.solve_reduced_system_time_in_seconds = dt * 0.5
-            self.it_summary.linear_solver_iterations = int(cg_iters)
-            self.it_summary.linear_solver_type = self.linear_solver_type
-        if self.summary is not None:
-            self.summary.num_linear_solves += 1
-        return inc
-
-    def apply(self, inc):
-        t0 = time.monotonic()
-        cams, lm_ps, l_diff = sync(self._apply_fn(
-            self.consts, self.state.cams, self.state.lm_ps, self._lins,
-            self._stage2, self._pose_scale, inc))
-        if self.it_summary is not None:
-            self.it_summary.back_substitution_time_in_seconds = (
-                time.monotonic() - t0)
-        return BAState(cams=cams, lm_ps=lm_ps), float(l_diff)
 
 
 def e0_assemble_dense(lins, buckets, Hll_invs, pair_csr, cam_flat,
@@ -658,7 +642,9 @@ class PowerSCLinearizer(SCLinearizer):
             return self._stage1_common(consts[0], cams, lm_ps,
                                        csr=consts[1])
 
-        def solve_fn(consts, lins, lam):
+        def stage2_fn(consts, lins, lam):
+            """prepare_Hb (reference sc/linearization_power_sc.hpp:93-125):
+            RHS + cached Hll^-1 + damped per-camera Hpp Cholesky."""
             buckets, csr, pair_csr, cam_flat, cstrips_ = consts
             dtype = lins[0].Jp.dtype
             # per-bucket damped Hll^-1 + RHS b (landmark_block stage())
@@ -672,43 +658,51 @@ class PowerSCLinearizer(SCLinearizer):
             # sc/linearization_power_sc.hpp:111-124)
             hpp_chol = chol9(hpp)
 
-            def apply_hpp_inv(v):
-                return precond_apply(hpp_chol, v)
-
+            E0 = None
             if self.dense_rcs:
                 E0 = e0_assemble_dense(lins, buckets, Hll_invs,
                                        pair_csr, cam_flat, csr, lam,
                                        self.num_cameras,
                                        cam_strips=cstrips_)
+            stage2 = SCStage2(H=jnp.zeros((0, P9, P9), dtype), b=b,
+                              Hll_inv=Hll_invs,
+                              lam=jnp.asarray(lam, dtype))
+            return stage2, hpp_chol, E0
 
+        def lsolve_fn(consts, lins, aux):
+            """Power-series solve (sc/linearization_power_sc.hpp:127-154)."""
+            buckets, csr, pair_csr, cam_flat, cstrips_ = consts
+            stage2, hpp_chol, E0 = aux
+
+            def apply_hpp_inv(v):
+                return precond_apply(hpp_chol, v)
+
+            if self.dense_rcs:
                 def apply_e0(v):
                     return sc_matvec_dense(E0, v)
             else:
                 def apply_e0(v):
-                    return e0_matvec(lins, buckets, Hll_invs,
+                    return e0_matvec(lins, buckets, stage2.Hll_inv,
                                      self.num_cameras, v, csr=csr)
 
             inc, iters = power_series_solve(
-                apply_hpp_inv, apply_e0, b, opts.power_order,
+                apply_hpp_inv, apply_e0, stage2.b, opts.power_order,
                 q_tolerance=opts.eta)
-            stage2 = SCStage2(H=jnp.zeros((0, P9, P9), dtype), b=b,
-                              Hll_inv=Hll_invs, lam=jnp.asarray(lam, dtype))
             return inc, stage2, iters, jnp.asarray(1, jnp.int32)
 
         def apply_fn(consts, cams, lm_ps, lins, stage2, pose_scale, inc):
             new_lm_ps, l_diff = sc_back_substitute(
-                lins, consts[0], stage2.Hll_inv, lm_ps, inc)
+                lins, consts[0], stage2.Hll_inv, lm_ps, inc,
+                compensated=self.compensated)
             inc_scaled = inc * pose_scale
             q, t = lie.apply_inc_pose(cams.q, cams.t, inc_scaled[:, :6])
             intr = cams.intr + inc_scaled[:, 6:9]
             return CamState(q=q, t=t, intr=intr), new_lm_ps, l_diff
 
-        # pure (untraced) stages, composable by the fused LM driver
+        # pure (untraced) stages; LinearizerBase._finalize_build
+        # composes solve_pure and jits, the base drives the host loop
         self.error_pure = error_fn
         self.stage1_pure = stage1_fn
-        self.solve_pure = solve_fn
+        self.stage2_pure = stage2_fn
+        self.lsolve_pure = lsolve_fn
         self.apply_pure = apply_fn
-        self._error_fn = jax.jit(error_fn)
-        self._stage1_fn = jax.jit(stage1_fn)
-        self._solve_fn = jax.jit(solve_fn)
-        self._apply_fn = jax.jit(apply_fn)

@@ -318,11 +318,14 @@ def optimize_lm_fused(
         it.linear_solver_iterations = int(logs_np["cg_iters"][i])
         it.linear_solver_type = linearizer.linear_solver_type
         it.relative_decrease = float(logs_np["relative_decrease"][i])
+        # the whole solve is one device program: per-iteration wall time
+        # is attributed from the measured total by CG-iteration share
+        # (see module docstring); per-stage boundaries are not
+        # observable from the host, so the stage fields stay 0 and the
+        # iteration is flagged timing_attributed
         it.iteration_time_in_seconds = float(it_times[i])
         it.cumulative_time_in_seconds = float(cum_times[i])
-        it.solve_reduced_system_time_in_seconds = float(it_times[i]) * 0.7
-        it.stage1_time_in_seconds = float(it_times[i]) * 0.2
-        it.residual_evaluation_time_in_seconds = float(it_times[i]) * 0.1
+        it.timing_attributed = True
         finish_iteration(summary, it)
         if verbose:
             tag = ("Success" if it.step_is_successful

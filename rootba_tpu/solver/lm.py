@@ -94,9 +94,30 @@ def initial_state(bp: BucketedProblem, dtype) -> BAState:
 
 class LinearizerBase:
     """Facade shared by the three manual solvers (reference
-    solver/linearizor.hpp:47-83)."""
+    solver/linearizor.hpp:47-83).
+
+    Subclass contract (_build must set these):
+      error_pure(consts, cams, lm_ps) -> ResidualInfo
+      stage1_pure(consts, cams, lm_ps) -> (lins, pose_scale, failures)
+      stage2_pure(consts, lins, lam) -> aux   [per-lambda preparation:
+          damping/RHS/preconditioner/assembly]
+      lsolve_pure(consts, lins, aux) -> (inc, stage2, iters, term)
+          [the reduced-system linear solve]
+      apply_pure(consts, cams, lm_ps, lins, stage2, pose_scale, inc)
+          -> (cams, lm_ps, l_diff)
+    solve_pure is composed from stage2_pure + lsolve_pure by
+    _finalize_build. The split exists so the host driver can time the
+    preparation and the linear solve on separate dispatches (honest
+    per-stage timings, reference ba_log.hpp:205-231 semantics) while
+    the fused attempt / whole-solve drivers compose the pure stages
+    into one program.
+    """
 
     linear_solver_type = "?"
+    # which ba_log field the stage2/prepare dispatch is timed into:
+    # the QR solver logs it as stage2_time (linearizor_qr.cpp), the
+    # SC/PoBA solvers as prepare_time (linearizor_sc.cpp)
+    prepare_field = "stage2_time_in_seconds"
 
     def __init__(self, bp: BucketedProblem, options: SolverOptions, dtype,
                  mesh=None):
@@ -134,9 +155,44 @@ class LinearizerBase:
         self.huber = float(options.residual.huber_parameter)
         eps = options.jacobi_scaling_epsilon
         self.jacobi_eps = float(eps) if eps > 0 else _sophus_eps_sqrt(dtype)
+        # compensated f32 accumulation for the cancellation-prone sums
+        # (CG dots, l_diff; SURVEY §7.6); f64 needs no compensation
+        self.compensated = (bool(options.compensated_accumulation)
+                            and self.dtype == jnp.dtype(jnp.float32))
         self.it_summary: Optional[IterationSummary] = None
         self.summary: Optional[SolverSummary] = None
+        self._attempt_idx = -1
+        # measured stage fractions of a fused attempt dispatch, updated
+        # by each calibration pass (keys: prepare, lsolve, bsub, err)
+        self._timing_fracs: Optional[dict] = None
         self._build()
+        self._finalize_build()
+
+    def _scalar(self, v):
+        """Device scalar for jit inputs. Multi-process meshes require
+        globally-consistent replicated arrays (not per-process
+        single-device ones)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from rootba_tpu.parallel.mesh import put_sharded, replicated
+
+            return put_sharded(np.asarray(v, self.dtype),
+                               replicated(self.mesh))
+        return jnp.asarray(v, self.dtype)
+
+    def _finalize_build(self):
+        """Compose solve_pure and jit all stage functions."""
+        stage2_pure = self.stage2_pure
+        lsolve_pure = self.lsolve_pure
+
+        def solve_pure(consts, lins, lam):
+            return lsolve_pure(consts, lins, stage2_pure(consts, lins, lam))
+
+        self.solve_pure = solve_pure
+        self._error_fn = jax.jit(self.error_pure)
+        self._stage1_fn = jax.jit(self.stage1_pure)
+        self._stage2_fn = jax.jit(stage2_pure)
+        self._lsolve_fn = jax.jit(lsolve_pure)
+        self._apply_fn = jax.jit(self.apply_pure)
 
     # -- helpers -------------------------------------------------------
     def start_iteration(self, it_summary: IterationSummary):
@@ -198,12 +254,22 @@ class LinearizerBase:
         as a single device dispatch (the host loop otherwise pays three
         sync'd round trips per attempt; on tunneled TPUs each costs
         ~0.1 s). Host keeps accept/reject control: returns
-        (new_state, l_diff, ri2, cg_iters, inc_finite) and the caller
-        decides whether to set_state(new_state).
+        (new_state, l_diff, ri2, inc_finite) and the caller decides
+        whether to set_state(new_state).
 
         Composes the same pure stages the fused whole-solve driver uses
         (solver/fused_lm.py); semantics identical to separate
-        solve/apply/compute_error calls."""
+        solve/apply/compute_error calls.
+
+        Timing: every timing_calibration_interval-th attempt runs the
+        stages as separate measured dispatches (exact per-stage times);
+        fused attempts split their measured total by the latest
+        calibration's fractions and are flagged timing_attributed."""
+        self._attempt_idx += 1
+        interval = max(self.options.timing_calibration_interval, 0)
+        if interval and self._attempt_idx % interval == 0:
+            return self._attempt_calibrated(lam)
+
         if getattr(self, "_attempt_fn", None) is None:
             solve_pure = self.solve_pure
             apply_pure = self.apply_pure
@@ -225,17 +291,24 @@ class LinearizerBase:
             self._attempt_fn = jax.jit(attempt_fn)
 
         t0 = time.monotonic()
-        lam_arr = jnp.asarray(lam, self.dtype)
+        lam_arr = self._scalar(lam)
         cams2, lm_ps2, l_diff, ri2, cg_iters, cg_term, inc_finite = sync(
             self._attempt_fn(self.consts, self.state.cams,
                              self.state.lm_ps, self._lins,
                              self._pose_scale, lam_arr))
         dt = time.monotonic() - t0
         if self.it_summary is not None:
-            self.it_summary.stage2_time_in_seconds = dt * 0.1
-            self.it_summary.solve_reduced_system_time_in_seconds = dt * 0.7
-            self.it_summary.back_substitution_time_in_seconds = dt * 0.1
-            self.it_summary.residual_evaluation_time_in_seconds += dt * 0.1
+            f = self._timing_fracs or {
+                "prepare": 0.1, "lsolve": 0.7, "bsub": 0.1, "err": 0.1}
+            setattr(self.it_summary, self.prepare_field,
+                    dt * f["prepare"])
+            self.it_summary.solve_reduced_system_time_in_seconds = (
+                dt * f["lsolve"])
+            self.it_summary.back_substitution_time_in_seconds = (
+                dt * f["bsub"])
+            self.it_summary.residual_evaluation_time_in_seconds += (
+                dt * f["err"])
+            self.it_summary.timing_attributed = True
             self.it_summary.linear_solver_iterations = int(cg_iters)
             self.it_summary.linear_solver_message = (
                 f"cg_term={int(cg_term)} iters={int(cg_iters)}")
@@ -246,14 +319,85 @@ class LinearizerBase:
         return (BAState(cams=cams2, lm_ps=lm_ps2), float(l_diff),
                 ResidualInfoHost.from_device(ri2), bool(inc_finite))
 
+    def _attempt_calibrated(self, lam: float):
+        """attempt() semantics via separate measured dispatches; records
+        the stage-time fractions used to attribute fused attempts."""
+        inc = self.solve(lam)  # exact prepare + linear-solve timings
+        inc_finite = bool(jnp.all(jnp.isfinite(inc)))
+        if not inc_finite:
+            inc = jnp.zeros_like(inc)
+        backup = self.state
+        new_state, l_diff = self.apply(inc)  # exact back-sub timing
+        self.set_state(new_state)
+        t_err0 = time.monotonic()
+        ri2 = self.compute_error()
+        t_err = time.monotonic() - t_err0
+        self.set_state(backup)
+        its = self.it_summary
+        if its is not None:
+            parts = {
+                "prepare": getattr(its, self.prepare_field),
+                "lsolve": its.solve_reduced_system_time_in_seconds,
+                "bsub": its.back_substitution_time_in_seconds,
+                "err": t_err,
+            }
+            total = sum(parts.values())
+            if total > 0:
+                self._timing_fracs = {k: v / total
+                                      for k, v in parts.items()}
+        return new_state, float(l_diff), ri2, inc_finite
+
+    # -- host-driven stage dispatches (shared by all linearizers) ------
     def linearize(self):
-        raise NotImplementedError
+        t0 = time.monotonic()
+        lins, pose_scale, failures = sync(
+            self._stage1_fn(self.consts, self.state.cams,
+                            self.state.lm_ps))
+        if int(failures) > 0:
+            raise FloatingPointError(
+                f"numerical failure during linearization "
+                f"({int(failures)} observations)")
+        self._lins = lins
+        self._pose_scale = pose_scale
+        if self.it_summary is not None:
+            self.it_summary.stage1_time_in_seconds = time.monotonic() - t0
+            self.it_summary.jacobian_evaluation_time_in_seconds = (
+                self.it_summary.stage1_time_in_seconds)
+        if self.summary is not None:
+            self.summary.num_jacobian_evaluations += 1
 
     def solve(self, lam: float) -> jnp.ndarray:
-        raise NotImplementedError
+        """Two measured dispatches: stage2/prepare, then the linear
+        solve (reference linearizor_qr.cpp:141-265 records them as
+        separate timer spans)."""
+        t0 = time.monotonic()
+        lam_arr = self._scalar(lam)
+        aux = sync(self._stage2_fn(self.consts, self._lins, lam_arr))
+        t1 = time.monotonic()
+        inc, stage2, cg_iters, cg_term = sync(
+            self._lsolve_fn(self.consts, self._lins, aux))
+        t2 = time.monotonic()
+        self._stage2 = stage2
+        if self.it_summary is not None:
+            setattr(self.it_summary, self.prepare_field, t1 - t0)
+            self.it_summary.solve_reduced_system_time_in_seconds = t2 - t1
+            self.it_summary.linear_solver_iterations = int(cg_iters)
+            self.it_summary.linear_solver_message = (
+                f"cg_term={int(cg_term)} iters={int(cg_iters)}")
+            self.it_summary.linear_solver_type = self.linear_solver_type
+        if self.summary is not None:
+            self.summary.num_linear_solves += 1
+        return inc
 
     def apply(self, inc: jnp.ndarray) -> Tuple[BAState, float]:
-        raise NotImplementedError
+        t0 = time.monotonic()
+        cams, lm_ps, l_diff = sync(self._apply_fn(
+            self.consts, self.state.cams, self.state.lm_ps, self._lins,
+            self._stage2, self._pose_scale, inc))
+        if self.it_summary is not None:
+            self.it_summary.back_substitution_time_in_seconds = (
+                time.monotonic() - t0)
+        return BAState(cams=cams, lm_ps=lm_ps), float(l_diff)
 
 
 class SqrtLinearizer(LinearizerBase):
@@ -283,14 +427,17 @@ class SqrtLinearizer(LinearizerBase):
             return self._stage1_common(consts[0], cams, lm_ps,
                                        csr=consts[1])
 
-        def solve_fn(consts, lins, lam):
+        def stage2_fn(consts, lins, lam):
             buckets, csr = consts
             # stage2 keeps segment_sum accumulation: its 81-wide
             # contribution rows make the CSR gather slower than the
             # scatter, and it runs once per solve (vs ~100 matvecs)
-            stage2 = sqrt_qr.sqrt_stage2(
+            return sqrt_qr.sqrt_stage2(
                 lins, buckets, lam, self.num_cameras,
                 precond_jacobi=precond_jacobi, csr=None)
+
+        def lsolve_fn(consts, lins, stage2):
+            buckets, csr = consts
 
             def matvec(x):
                 return sqrt_qr.sqrt_matvec(
@@ -305,6 +452,7 @@ class SqrtLinearizer(LinearizerBase):
                 max_num_iterations=opts.max_linear_solver_iterations,
                 q_tolerance=opts.eta,
                 r_tolerance=-1.0,
+                compensated=self.compensated,
             )
             # we solve H(-x) = b -> negate (linearizor_base.cpp:99-101)
             return (-res.x, stage2, res.num_iterations,
@@ -312,66 +460,20 @@ class SqrtLinearizer(LinearizerBase):
 
         def apply_fn(consts, cams, lm_ps, lins, stage2, pose_scale, inc):
             new_lm_ps, l_diff = sqrt_qr.sqrt_back_substitute(
-                lins, consts[0], stage2, lm_ps, inc)
+                lins, consts[0], stage2, lm_ps, inc,
+                compensated=self.compensated)
             inc_scaled = inc * pose_scale
             q, t = lie.apply_inc_pose(cams.q, cams.t, inc_scaled[:, :6])
             intr = cams.intr + inc_scaled[:, 6:9]
             return CamState(q=q, t=t, intr=intr), new_lm_ps, l_diff
 
-        # pure (untraced) stages, composable by the fused LM driver
+        # pure (untraced) stages, composable by the fused LM driver;
+        # _finalize_build composes solve_pure and jits everything
         self.error_pure = error_fn
         self.stage1_pure = stage1_fn
-        self.solve_pure = solve_fn
+        self.stage2_pure = stage2_fn
+        self.lsolve_pure = lsolve_fn
         self.apply_pure = apply_fn
-        self._error_fn = jax.jit(error_fn)
-        self._stage1_fn = jax.jit(stage1_fn)
-        self._solve_fn = jax.jit(solve_fn)
-        self._apply_fn = jax.jit(apply_fn)
-
-    def linearize(self):
-        t0 = time.monotonic()
-        lins, pose_scale, failures = sync(
-            self._stage1_fn(self.consts, self.state.cams, self.state.lm_ps))
-        if int(failures) > 0:
-            raise FloatingPointError(
-                f"numerical failure during linearization "
-                f"({int(failures)} observations)")
-        self._lins = lins
-        self._pose_scale = pose_scale
-        if self.it_summary is not None:
-            self.it_summary.stage1_time_in_seconds = time.monotonic() - t0
-            self.it_summary.jacobian_evaluation_time_in_seconds = (
-                self.it_summary.stage1_time_in_seconds)
-        if self.summary is not None:
-            self.summary.num_jacobian_evaluations += 1
-
-    def solve(self, lam: float) -> jnp.ndarray:
-        t0 = time.monotonic()
-        lam_arr = jnp.asarray(lam, self.dtype)
-        inc, stage2, cg_iters, cg_term = sync(
-            self._solve_fn(self.consts, self._lins, lam_arr))
-        self._stage2 = stage2
-        if self.it_summary is not None:
-            dt = time.monotonic() - t0
-            self.it_summary.stage2_time_in_seconds = dt * 0.2
-            self.it_summary.solve_reduced_system_time_in_seconds = dt * 0.8
-            self.it_summary.linear_solver_iterations = int(cg_iters)
-            self.it_summary.linear_solver_message = (
-                f"cg_term={int(cg_term)} iters={int(cg_iters)}")
-            self.it_summary.linear_solver_type = self.linear_solver_type
-        if self.summary is not None:
-            self.summary.num_linear_solves += 1
-        return inc
-
-    def apply(self, inc: jnp.ndarray) -> Tuple[BAState, float]:
-        t0 = time.monotonic()
-        cams, lm_ps, l_diff = sync(self._apply_fn(
-            self.consts, self.state.cams, self.state.lm_ps, self._lins,
-            self._stage2, self._pose_scale, inc))
-        if self.it_summary is not None:
-            self.it_summary.back_substitution_time_in_seconds = (
-                time.monotonic() - t0)
-        return BAState(cams=cams, lm_ps=lm_ps), float(l_diff)
 
 
 def create_linearizer(bp: BucketedProblem, options: SolverOptions, dtype,
@@ -379,15 +481,12 @@ def create_linearizer(bp: BucketedProblem, options: SolverOptions, dtype,
     from rootba_tpu.solver.explicit_sc import PowerSCLinearizer, SCLinearizer
 
     if options.solver_type == SolverType.SQUARE_ROOT:
-        if options.kernel_layout == "planar":
-            from rootba_tpu.solver.sqrt_planar import PlanarSqrtLinearizer
-
-            return PlanarSqrtLinearizer(bp, options, dtype, mesh)
-        if options.kernel_layout == "cm" and mesh is None:
-            from rootba_tpu.solver.sqrt_cm import CmSqrtLinearizer
-
-            return CmSqrtLinearizer(bp, options, dtype, mesh)
-        if options.kernel_layout in ("flat", "cm") and mesh is None:
+        if options.kernel_layout not in ("flat", "einsum"):
+            raise ValueError(
+                f"unknown kernel_layout {options.kernel_layout!r} "
+                f"(choose 'flat' or 'einsum'; the round-1 experimental "
+                f"'cm'/'planar' layouts were retired)")
+        if options.kernel_layout == "flat" and mesh is None:
             from rootba_tpu.solver.sqrt_flat import FlatSqrtLinearizer
 
             return FlatSqrtLinearizer(bp, options, dtype, mesh)
@@ -481,6 +580,10 @@ def optimize_lm(
     resume_it = None
     ckpt_path = options.checkpoint_path
     ckpt_interval = options.checkpoint_interval
+    if ckpt_path and jax.process_count() > 1:
+        raise NotImplementedError(
+            "mid-solve checkpointing is not supported in multi-process "
+            "runs yet (landmark shards are process-local)")
     if ckpt_path:
         from rootba_tpu.utils.checkpoint import (
             iteration_from_dict,
@@ -776,12 +879,15 @@ def bundle_adjust(
         state, summary = optimize_lm_fused(bp, options, summary)
     else:
         state, summary = optimize_lm(bp, options, summary)
-    # write back optimized state
-    problem.lm_p[:] = scatter_landmarks(bp, [np.asarray(p, np.float64)
-                                             for p in state.lm_ps])
-    problem.cam_q[:] = np.asarray(state.cams.q, np.float64)
-    problem.cam_t[:] = np.asarray(state.cams.t, np.float64)
-    problem.cam_intr[:] = np.asarray(state.cams.intr, np.float64)
+    # write back optimized state (multi-process: all-gather the
+    # landmark shards so every host has the full solution)
+    from rootba_tpu.parallel.mesh import gather_to_host
+
+    problem.lm_p[:] = scatter_landmarks(
+        bp, [gather_to_host(p).astype(np.float64) for p in state.lm_ps])
+    problem.cam_q[:] = gather_to_host(state.cams.q).astype(np.float64)
+    problem.cam_t[:] = gather_to_host(state.cams.t).astype(np.float64)
+    problem.cam_intr[:] = gather_to_host(state.cams.intr).astype(np.float64)
     if timing is not None:
         timing.optimize_time = summary.total_time_in_seconds
     return summary

@@ -128,6 +128,41 @@ def bundle_adjust_scipy(
 
     loss = ("huber" if options.residual.robust_norm == RobustNorm.HUBER
             else "linear")
+
+    # Per-iteration rootba-style cost records (the role the reference's
+    # BalIterationCallback plays for Ceres, ceres/bal_iteration_callback
+    # .hpp:47: re-evaluate the cost in rootba's own all/valid accounting
+    # per solver iteration so logs are comparable across solvers).
+    def record_iteration(x, iteration):
+        q, t, intr, lm = unpack(x)
+        tmp = BalProblem(q, t, intr, lm, problem.obs_lm,
+                         problem.obs_cam, problem.obs_uv, quiet=True)
+        ri = compute_residual_info(tmp, options)
+        it = IterationSummary(iteration=iteration)
+        it.cost = ri
+        it.step_is_successful = True
+        it.linear_solver_type = "scipy_trf"
+        now = time.monotonic() - t0
+        prev_cum = (summary.iterations[-1].cumulative_time_in_seconds
+                    if summary.iterations else 0.0)
+        it.iteration_time_in_seconds = now - prev_cum
+        it.cumulative_time_in_seconds = now
+        finish_iteration(summary, it)
+        if options.verbosity_level >= 2:
+            print(f"scipy baseline it {iteration}: "
+                  f"cost {ri.all.error:.6e} valid {ri.valid.error:.6e}")
+
+    record_iteration(x0, 0)  # iteration 0 = initial cost, like the
+    # manual drivers (bal_bundle_adjustment.cpp:311-322)
+    count = {"i": 0}
+
+    def callback(intermediate_result=None, x=None):
+        count["i"] += 1
+        xi = intermediate_result if x is None else x
+        if hasattr(xi, "x"):  # OptimizeResult form
+            xi = xi.x
+        record_iteration(xi, count["i"])
+
     result = least_squares(
         residuals, x0,
         jac_sparsity=sparsity,
@@ -139,6 +174,7 @@ def bundle_adjust_scipy(
         ftol=options.function_tolerance or 1e-12,
         xtol=1e-14, gtol=1e-14,
         verbose=0,
+        callback=callback,
     )
 
     q, t, intr, lm = unpack(result.x)
@@ -147,14 +183,9 @@ def bundle_adjust_scipy(
     problem.cam_intr[:] = intr
     problem.lm_p[:] = lm
 
-    ri = compute_residual_info(problem, options)
-    it = IterationSummary(iteration=0)
-    it.cost = ri
-    it.step_is_successful = True
-    it.linear_solver_type = "scipy_trf"
-    it.iteration_time_in_seconds = time.monotonic() - t0
-    it.cumulative_time_in_seconds = it.iteration_time_in_seconds
-    finish_iteration(summary, it)
+    # final state record (TRF's last accepted step may postdate the
+    # last callback)
+    record_iteration(result.x, count["i"] + 1)
 
     summary.termination_type = (CONVERGENCE if result.status > 0
                                 else NO_CONVERGENCE)

@@ -310,9 +310,13 @@ def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,
 
 
 def flat_back_substitute(lin: FlatLin, stage2: FlatStage2, buckets,
-                         cam_flat, lm_ps, pose_inc):
+                         cam_flat, lm_ps, pose_inc,
+                         compensated: bool = False):
     """Landmark back-substitution + model cost decrease
-    (landmark_block_base.ipp:213-284)."""
+    (landmark_block_base.ipp:213-284).
+
+    compensated=True accumulates l_diff with error-free transforms
+    (see ops.compensated; the sum cancels under f32 near convergence)."""
     offs = _bucket_offsets(buckets)
     xg = pose_inc[cam_flat]
     w = jnp.sum(lin.Jp * xg[:, None, :], axis=2)
@@ -331,9 +335,14 @@ def flat_back_substitute(lin: FlatLin, stage2: FlatStage2, buckets,
 
     dl_flat = _per_landmark_broadcast(dls, buckets)
     v = w + jnp.sum(lin.Jl * dl_flat[:, None, :], axis=2)
-    l_diff = -jnp.sum(
-        (v * (0.5 * v + lin.r)).astype(
-            jnp.result_type(pose_inc.dtype, jnp.float32)))
+    parts = (v * (0.5 * v + lin.r)).astype(
+        jnp.result_type(pose_inc.dtype, jnp.float32))
+    if compensated:
+        from rootba_tpu.ops.compensated import comp_sum
+
+        l_diff = -comp_sum(parts)
+    else:
+        l_diff = -jnp.sum(parts)
     return tuple(new_lm_ps), l_diff
 
 
@@ -426,7 +435,7 @@ class FlatSqrtLinearizer(LinearizerBase):
                 self.huber, use_valid, self.jacobi_eps,
                 opts.jacobi_scaling, csr, N, cam_strips=cstrips_)
 
-        def solve_fn(consts, lins, lam):
+        def stage2_fn(consts, lins, lam):
             buckets, csr, cam_flat, pairs, cstrips_ = consts
             if explicit:
                 # explicit dense RCS: assemble H = (Q2'Jp)'(Q2'Jp)+lam I
@@ -445,7 +454,20 @@ class FlatSqrtLinearizer(LinearizerBase):
                 if not precond_jacobi:
                     chol = chol9(diag)
                     stage2 = stage2._replace(precond_chol=chol)
+                return stage2, Hd
+            # stage2 keeps segment_sum for its 81-wide
+            # preconditioner rows (CSR gathers are slower above ~16
+            # floats per row); the RHS reduce stays with it for one
+            # fused sweep.
+            stage2 = flat_stage2(
+                lins, buckets, cam_flat, lam, N,
+                precond_jacobi=precond_jacobi, csr=None)
+            return stage2, None
 
+        def lsolve_fn(consts, lins, aux):
+            buckets, csr, cam_flat, pairs, cstrips_ = consts
+            stage2, Hd = aux
+            if explicit:
                 def matvec(x):
                     from rootba_tpu.solver.explicit_sc import (
                         sc_matvec_dense,
@@ -469,14 +491,6 @@ class FlatSqrtLinearizer(LinearizerBase):
                     return (-res.x, stage2, res.num_iterations,
                             res.termination_type)
             else:
-                # stage2 keeps segment_sum for its 81-wide
-                # preconditioner rows (CSR gathers are slower above ~16
-                # floats per row); the RHS reduce stays with it for one
-                # fused sweep.
-                stage2 = flat_stage2(
-                    lins, buckets, cam_flat, lam, N,
-                    precond_jacobi=precond_jacobi, csr=None)
-
                 def matvec(x):
                     return flat_matvec(lins, stage2, buckets, cam_flat,
                                        N, x, csr=csr)
@@ -489,6 +503,7 @@ class FlatSqrtLinearizer(LinearizerBase):
                 max_num_iterations=opts.max_linear_solver_iterations,
                 q_tolerance=opts.eta,
                 r_tolerance=-1.0,
+                compensated=self.compensated,
             )
             # we solve H(-x) = b -> negate (linearizor_base.cpp:99-101)
             return (-res.x, stage2, res.num_iterations,
@@ -497,64 +512,17 @@ class FlatSqrtLinearizer(LinearizerBase):
         def apply_fn(consts, cams, lm_ps, lins, stage2, pose_scale, inc):
             buckets, csr, cam_flat = consts[:3]
             new_lm_ps, l_diff = flat_back_substitute(
-                lins, stage2, buckets, cam_flat, lm_ps, inc)
+                lins, stage2, buckets, cam_flat, lm_ps, inc,
+                compensated=self.compensated)
             inc_scaled = inc * pose_scale
             q, t = lie.apply_inc_pose(cams.q, cams.t, inc_scaled[:, :6])
             intr = cams.intr + inc_scaled[:, 6:9]
             return CamState(q=q, t=t, intr=intr), new_lm_ps, l_diff
 
+        # pure stages; LinearizerBase._finalize_build composes
+        # solve_pure and jits, the base class drives the host loop
         self.error_pure = error_fn
         self.stage1_pure = stage1_fn
-        self.solve_pure = solve_fn
+        self.stage2_pure = stage2_fn
+        self.lsolve_pure = lsolve_fn
         self.apply_pure = apply_fn
-        self._error_fn = jax.jit(error_fn)
-        self._stage1_fn = jax.jit(stage1_fn)
-        self._solve_fn = jax.jit(solve_fn)
-        self._apply_fn = jax.jit(apply_fn)
-
-    # host-loop driver interface (mirrors SqrtLinearizer)
-    def linearize(self):
-        t0 = time.monotonic()
-        lins, pose_scale, failures = sync(
-            self._stage1_fn(self.consts, self.state.cams,
-                            self.state.lm_ps))
-        if int(failures) > 0:
-            raise FloatingPointError(
-                f"numerical failure during linearization "
-                f"({int(failures)} observations)")
-        self._lins = lins
-        self._pose_scale = pose_scale
-        if self.it_summary is not None:
-            self.it_summary.stage1_time_in_seconds = time.monotonic() - t0
-            self.it_summary.jacobian_evaluation_time_in_seconds = (
-                self.it_summary.stage1_time_in_seconds)
-        if self.summary is not None:
-            self.summary.num_jacobian_evaluations += 1
-
-    def solve(self, lam):
-        t0 = time.monotonic()
-        lam_arr = jnp.asarray(lam, self.dtype)
-        inc, stage2, cg_iters, cg_term = sync(
-            self._solve_fn(self.consts, self._lins, lam_arr))
-        self._stage2 = stage2
-        if self.it_summary is not None:
-            dt = time.monotonic() - t0
-            self.it_summary.stage2_time_in_seconds = dt * 0.2
-            self.it_summary.solve_reduced_system_time_in_seconds = dt * 0.8
-            self.it_summary.linear_solver_iterations = int(cg_iters)
-            self.it_summary.linear_solver_message = (
-                f"cg_term={int(cg_term)} iters={int(cg_iters)}")
-            self.it_summary.linear_solver_type = self.linear_solver_type
-        if self.summary is not None:
-            self.summary.num_linear_solves += 1
-        return inc
-
-    def apply(self, inc):
-        t0 = time.monotonic()
-        cams, lm_ps, l_diff = sync(self._apply_fn(
-            self.consts, self.state.cams, self.state.lm_ps, self._lins,
-            self._stage2, self._pose_scale, inc))
-        if self.it_summary is not None:
-            self.it_summary.back_substitution_time_in_seconds = (
-                time.monotonic() - t0)
-        return BAState(cams=cams, lm_ps=lm_ps), float(l_diff)

@@ -213,6 +213,7 @@ def sqrt_back_substitute(
     stage2: SqrtStage2,
     lm_ps: Sequence[jnp.ndarray],
     pose_inc: jnp.ndarray,  # [N,9] in scaled coordinates (true increment)
+    compensated: bool = False,
 ):
     """Landmark back-substitution + exact model-cost decrease
     (reference landmark_block_base.ipp:213-284):
@@ -220,8 +221,14 @@ def sqrt_back_substitute(
         dl_s  = -R^-1 Q1h^T (r + Jp dp)
         l_diff -= v^T (0.5 v + r),  v = Jp dp + Jl_s dl_s  (undamped rows)
         lm_p  += dl_s * Jl_col_scale
+
+    compensated=True accumulates l_diff with error-free transforms
+    (ops.compensated): the sum cancels catastrophically near
+    convergence under f32 (SURVEY §7.6), distorting rho = f_diff/l_diff.
     """
-    l_diff = jnp.zeros((), jnp.result_type(pose_inc.dtype, jnp.float32))
+    acc_dtype = jnp.result_type(pose_inc.dtype, jnp.float32)
+    l_hi = jnp.zeros((), acc_dtype)
+    l_lo = jnp.zeros((), acc_dtype)
     new_lm_ps = []
     for lin, bucket, Q1h, R, lm_p in zip(
         lin_buckets, buckets, stage2.Q1h, stage2.R, lm_ps
@@ -235,8 +242,16 @@ def sqrt_back_substitute(
         dl_s = jnp.where(bucket.lm_mask[:, None], dl_s, 0.0)
 
         v = w + jnp.einsum("lnrc,lc->lnr", lin.Jl, dl_s)
-        l_diff = l_diff - jnp.sum(v * (0.5 * v + lin.r))
+        parts = (v * (0.5 * v + lin.r)).astype(acc_dtype)
+        if compensated:
+            from rootba_tpu.ops.compensated import comp_sum2, two_sum
+
+            bhi, blo = comp_sum2(parts)
+            l_hi, e = two_sum(l_hi, -bhi)
+            l_lo = l_lo + e - blo
+        else:
+            l_hi = l_hi - jnp.sum(parts)
 
         dl = dl_s * lin.Jl_scale
         new_lm_ps.append(lm_p + dl.astype(lm_p.dtype))
-    return tuple(new_lm_ps), l_diff
+    return tuple(new_lm_ps), l_hi + l_lo

@@ -1,0 +1,123 @@
+"""Multi-host backend smoke: 2 processes x 4 virtual CPU devices must
+reproduce the single-process 8-device mesh solve.
+
+This is the TPU-native analog of the reference's strongest equivalence
+guarantee (dual reduction paths giving identical results,
+solver_options.hpp:266): the same solve, decomposed over a
+jax.distributed two-process runtime with per-process shard loading and
+DCN-boundary camera all-reduces, must match the single-runtime result.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import json, os, sys
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2])
+port = sys.argv[3]; out = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4")
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/rootba_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from rootba_tpu.parallel.mesh import init_distributed
+init_distributed(f"localhost:{port}", nproc, pid)
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.device_count() == 4 * nproc, jax.device_count()
+
+from rootba_tpu.bal.synthetic import generate_synthetic_bal
+from rootba_tpu.config.options import SolverOptions
+from rootba_tpu.log.summary import SolverSummary
+from rootba_tpu.solver.lm import bundle_adjust
+
+p = generate_synthetic_bal(num_cams=12, num_lms=200,
+                           mean_obs_per_lm=4.5, seed=3)
+p.normalize(100.0)
+p.perturb(0.0, 0.01, 0.01, 38401)
+p.filter_obs(0.1)
+opts = SolverOptions(max_num_iterations=5, verbosity_level=0,
+                     lm_loop="host", num_devices=0,
+                     kernel_layout="einsum", use_double=True)
+summary = bundle_adjust(p, opts)
+if pid == 0:
+    res = {
+        "costs": [it.cost.valid.error for it in summary.iterations],
+        "final_cost": summary.final_cost.valid.error,
+        "cam_t": np.asarray(p.cam_t).tolist(),
+    }
+    import numpy as np  # noqa: F811
+    json.dump(res, open(out, "w"))
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_matches_single_process(tmp_path):
+    port = _free_port()
+    out = str(tmp_path / "mp_result.json")
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as fp:
+        fp.write("import numpy as np\n" + _WORKER)
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # replace (not extend) PYTHONPATH: site hooks on this machine
+    # (e.g. a TPU-tunnel plugin dir) interfere with jax.distributed
+    # on the CPU backend
+    env["PYTHONPATH"] = repo_root
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)
+    ]
+    outs = []
+    for pr in procs:
+        try:
+            stdout, _ = pr.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            stdout, _ = pr.communicate()
+        outs.append(stdout.decode(errors="replace"))
+    for pr, text in zip(procs, outs):
+        assert pr.returncode == 0, f"worker failed:\n{text[-4000:]}"
+    mp = json.load(open(out))
+
+    # single-process reference on the same 8-device virtual mesh
+    from rootba_tpu.bal.synthetic import generate_synthetic_bal
+    from rootba_tpu.config.options import SolverOptions
+    from rootba_tpu.solver.lm import bundle_adjust
+
+    p = generate_synthetic_bal(num_cams=12, num_lms=200,
+                               mean_obs_per_lm=4.5, seed=3)
+    p.normalize(100.0)
+    p.perturb(0.0, 0.01, 0.01, 38401)
+    p.filter_obs(0.1)
+    opts = SolverOptions(max_num_iterations=5, verbosity_level=0,
+                         lm_loop="host", num_devices=0,
+                         kernel_layout="einsum", use_double=True)
+    summary = bundle_adjust(p, opts)
+
+    sp_costs = [it.cost.valid.error for it in summary.iterations]
+    assert len(mp["costs"]) == len(sp_costs)
+    np.testing.assert_allclose(mp["costs"], sp_costs, rtol=1e-8)
+    np.testing.assert_allclose(mp["final_cost"],
+                               summary.final_cost.valid.error, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(mp["cam_t"]), p.cam_t,
+                               rtol=1e-6, atol=1e-9)

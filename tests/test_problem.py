@@ -33,6 +33,22 @@ def test_bal_roundtrip(tmp_path):
     np.testing.assert_allclose(q1, sign * q2, atol=1e-9)
 
 
+def test_save_bal_roundtrip(tmp_path):
+    """save_bal inverts load_bal's axis-flip exactly: the exported text
+    re-loads to the same state (reference-readable interop export)."""
+    p = generate_synthetic_bal(num_cams=7, num_lms=40, seed=5)
+    path = str(tmp_path / "problem-out.txt")
+    p.save_bal(path)
+    p2 = load_bal(path, quiet=True)
+    assert p2.num_observations == p.num_observations
+    np.testing.assert_allclose(p2.cam_t, p.cam_t, atol=1e-12)
+    np.testing.assert_allclose(p2.cam_intr, p.cam_intr, atol=1e-12)
+    np.testing.assert_allclose(p2.lm_p, p.lm_p, atol=1e-12)
+    np.testing.assert_allclose(p2.obs_uv, p.obs_uv, atol=1e-12)
+    sign = np.sign(np.sum(p.cam_q * p2.cam_q, axis=-1, keepdims=True))
+    np.testing.assert_allclose(p.cam_q, sign * p2.cam_q, atol=1e-9)
+
+
 def test_npz_roundtrip(tmp_path):
     p = generate_synthetic_bal(num_cams=6, num_lms=30, seed=2)
     path = str(tmp_path / "problem.npz")

@@ -10,13 +10,17 @@ import pytest
 
 from rootba_tpu.bal.bucketing import bucketize
 from rootba_tpu.bal.synthetic import generate_synthetic_bal
-from rootba_tpu.config.options import SolverOptions
+from rootba_tpu.config.options import SolverOptions, SolverType
 from rootba_tpu.parallel.mesh import (
     make_mesh,
     pad_rows_for_mesh,
     shard_state,
 )
-from rootba_tpu.solver.lm import SqrtLinearizer, initial_state
+from rootba_tpu.solver.lm import (
+    SqrtLinearizer,
+    create_linearizer,
+    initial_state,
+)
 
 
 def make_problem():
@@ -29,14 +33,25 @@ def make_problem():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-def test_sharded_solve_matches_single_device():
+@pytest.mark.parametrize("solver_type", [
+    SolverType.SQUARE_ROOT,
+    SolverType.SCHUR_COMPLEMENT,
+    SolverType.POWER_SCHUR_COMPLEMENT,
+])
+def test_sharded_solve_matches_single_device(solver_type):
     p = make_problem()
+    # dense_rcs_max_cameras=0: the single-device side must use the same
+    # block-sparse/implicit formulation the mesh side uses, so the
+    # comparison isolates sharding (dense-vs-sparse equivalence is
+    # covered by test_solver_equivalence)
     opts = SolverOptions(max_num_iterations=4, verbosity_level=0,
-                         bucket_pow2_from=4)
+                         bucket_pow2_from=4, solver_type=solver_type,
+                         kernel_layout="einsum",
+                         dense_rcs_max_cameras=0)
     bp = bucketize(p, pow2_from=4, row_align=pad_rows_for_mesh(8))
 
     # single device
-    lin1 = SqrtLinearizer(bp, opts, jnp.float64)
+    lin1 = create_linearizer(bp, opts, jnp.float64)
     state1 = initial_state(bp, jnp.float64)
     lin1.set_state(state1)
     lin1.linearize()
@@ -45,7 +60,7 @@ def test_sharded_solve_matches_single_device():
 
     # 8-device mesh
     mesh = make_mesh(8)
-    lin8 = SqrtLinearizer(bp, opts, jnp.float64, mesh)
+    lin8 = create_linearizer(bp, opts, jnp.float64, mesh)
     state8 = shard_state(initial_state(bp, jnp.float64), mesh)
     lin8.set_state(state8)
     lin8.linearize()

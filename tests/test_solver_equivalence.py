@@ -236,7 +236,8 @@ def _one_solve(bp, layout, reduction_alg, dtype, **extra):
     lam = jnp.asarray(1e-3, dtype)
     lins, pose_scale, _ = lin._stage1_fn(lin.consts, state.cams,
                                          state.lm_ps)
-    inc, s2, iters, _ = lin._solve_fn(lin.consts, lins, lam)
+    inc, s2, iters, _ = lin._lsolve_fn(
+        lin.consts, lins, lin._stage2_fn(lin.consts, lins, lam))
     cams, lm_ps, l_diff = lin._apply_fn(
         lin.consts, state.cams, state.lm_ps, lins, s2, pose_scale, inc)
     return (np.asarray(pose_scale), np.asarray(s2.b), np.asarray(inc),
