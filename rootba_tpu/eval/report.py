@@ -185,6 +185,116 @@ def plot_convergence(
     plt.close(fig)
 
 
+def plot_bar_metric(
+    experiments: Dict[str, Experiment],
+    metric: str,
+    out_path: str,
+):
+    """Grouped bar chart of one metric per sequence x experiment
+    (reference latex/plot.py runtime/memory bar charts)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    d = METRICS[metric]
+    exps = list(experiments.values())
+    seqs = sorted({s for e in exps for s in e.sequences()})
+    x = np.arange(len(seqs))
+    width = 0.8 / max(len(exps), 1)
+    fig, ax = plt.subplots(figsize=(max(6, 0.8 * len(seqs) + 2), 4))
+    for ei, e in enumerate(exps):
+        vals = []
+        for seq in seqs:
+            run = e.runs.get(seq)
+            v = d.value(run.log) if run and run.log else float("nan")
+            vals.append(v)
+        ax.bar(x + (ei - (len(exps) - 1) / 2) * width, vals, width,
+               label=e.display_name)
+    ax.set_xticks(x)
+    ax.set_xticklabels(seqs, rotation=30, ha="right", fontsize=8)
+    ax.set_ylabel(d.display_name)
+    ax.grid(True, axis="y", alpha=0.3)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
+def _tex_escape(s: str) -> str:
+    return (s.replace("_", r"\_").replace("%", r"\%")
+            .replace("#", r"\#").replace("&", r"\&"))
+
+
+def results_table_tex(
+    experiments: Dict[str, Experiment],
+    metrics: Sequence[str],
+) -> str:
+    """LaTeX results table (booktabs), best value per metric bolded
+    (reference latex/results_table.py top-highlighting)."""
+    exps = list(experiments.values())
+    seqs = sorted({s for e in exps for s in e.sequences()})
+    descs = [METRICS[m] for m in metrics]
+    ncol = 1 + len(exps) * len(descs)
+    lines = [r"\begin{tabular}{l" + "r" * (ncol - 1) + "}",
+             r"\toprule"]
+    head = ["sequence"]
+    for e in exps:
+        for d in descs:
+            head.append(_tex_escape(f"{e.display_name} {d.display_name}"))
+    lines.append(" & ".join(head) + r" \\")
+    lines.append(r"\midrule")
+    for seq in seqs:
+        vals: List[List[float]] = []
+        for e in exps:
+            run = e.runs.get(seq)
+            vals.append([d.value(run.log) if run and run.log
+                         else float("nan") for d in descs])
+        cells = [_tex_escape(seq)]
+        for ei in range(len(exps)):
+            for mi, d in enumerate(descs):
+                v = vals[ei][mi]
+                col = [vals[k][mi] for k in range(len(exps))]
+                finite = [x for x in col if math.isfinite(x)]
+                best = (max(finite) if d.bigger_is_better
+                        else min(finite)) if finite else None
+                txt = ("--" if not math.isfinite(v)
+                       else f"{v:.{d.decimals}f}")
+                if best is not None and math.isfinite(v) and v == best:
+                    txt = r"\textbf{" + txt + "}"
+                cells.append(txt)
+        lines.append(" & ".join(cells) + r" \\")
+    lines += [r"\bottomrule", r"\end{tabular}"]
+    return "\n".join(lines)
+
+
+def generate_latex_report(
+    experiments: Dict[str, Experiment],
+    output_dir: str,
+    metrics: Sequence[str],
+    figures: Sequence[str],
+) -> str:
+    """Self-contained report.tex (the role the reference's pylatex PDF
+    plays, python/rootba/latex/; compile with pdflatex if desired)."""
+    parts = [
+        r"\documentclass[landscape]{article}",
+        r"\usepackage[margin=1.5cm]{geometry}",
+        r"\usepackage{booktabs,graphicx}",
+        r"\begin{document}",
+        r"\section*{rootba\_tpu batch evaluation}",
+        r"{\small", results_table_tex(experiments, metrics), "}",
+    ]
+    for fig in figures:
+        if os.path.exists(os.path.join(output_dir, fig)):
+            parts.append(
+                r"\includegraphics[width=\linewidth]{" + fig + "}")
+    parts.append(r"\end{document}")
+    tex_path = os.path.join(output_dir, "report.tex")
+    with open(tex_path, "w") as fp:
+        fp.write("\n".join(parts) + "\n")
+    return tex_path
+
+
 def generate_report(
     experiments: Dict[str, Experiment],
     output_dir: str,
@@ -210,6 +320,21 @@ def generate_report(
                   ""]
     except Exception as e:
         parts += [f"(convergence plots skipped: {e})", ""]
+    figures = ["performance_profiles.png", "convergence.png"]
+    for metric, title in (("total_time", "Runtime"),
+                          ("peak_memory", "Peak memory")):
+        png = f"bar_{metric}.png"
+        try:
+            plot_bar_metric(experiments, metric,
+                            os.path.join(output_dir, png))
+            parts += [f"## {title}", "", f"![{title}]({png})", ""]
+            figures.append(png)
+        except Exception as e:
+            parts += [f"({title} bar chart skipped: {e})", ""]
+    try:
+        generate_latex_report(experiments, output_dir, metrics, figures)
+    except Exception as e:
+        parts += [f"(latex report skipped: {e})", ""]
     report_path = os.path.join(output_dir, "report.md")
     with open(report_path, "w") as fp:
         fp.write("\n".join(parts))

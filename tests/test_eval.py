@@ -130,6 +130,9 @@ pattern = "runs/expB/*"
     assert "solver A" in text and "seq1" in text
     assert (tmp_path / "report" / "performance_profiles.png").exists()
     assert (tmp_path / "report" / "convergence.png").exists()
+    assert (tmp_path / "report" / "bar_total_time.png").exists()
+    tex = (tmp_path / "report" / "report.tex").read_text()
+    assert r"\begin{tabular}" in tex and r"\textbf{" in tex
 
 
 def test_batch_config_generator(tmp_path):
@@ -171,3 +174,50 @@ combo = ["d1", "solvers"]
     assert d["solver"]["solver_type"] == "SQUARE_ROOT"
     assert d["solver"]["max_num_iterations"] == 5
     assert d["dataset"]["input"] == "a.txt"
+
+
+def test_experiments_templates_and_cache(tmp_path):
+    """Template/substitution expansion + spec-hash pickle caching
+    (reference experiments.py:298-460 grammar, :39-48 caching)."""
+    for kind in ("qr32", "sc32"):
+        for seq in ("seq1", "seq2"):
+            d = tmp_path / "runs" / f"2026_{kind}" / seq
+            d.mkdir(parents=True)
+            s = make_summary((100.0, 50.0, 25.0))
+            save_log(BaLogOptions(log_path=str(d / "ba_log.json")), s,
+                     quiet=True)
+            (d / "status.log").write_text("completed\n")
+
+    spec = tmp_path / "spec.toml"
+    spec.write_text(f"""
+[options]
+base_path = "{tmp_path}"
+cache_dir = "cache"
+
+[[substitutions]]
+date = "2026"
+
+[[templates]]
+_name = "exp_kind"
+_arguments = ["kind"]
+name = "${{kind}}"
+display_name = "solver ${{kind}}"
+pattern = "runs/${{date}}_${{kind}}/*"
+
+[[experiments]]
+_template = {{ _name = "exp_kind", kind = {{ _argument = "product", _value = ["qr32", "sc32"] }} }}
+""")
+    from rootba_tpu.eval.experiments import load_all
+
+    exps = load_all(str(spec))
+    assert set(exps) == {"qr32", "sc32"}
+    assert exps["qr32"].display_name == "solver qr32"
+    assert exps["sc32"].sequences() == ["seq1", "seq2"]
+
+    # warm-cache load hits the pickles (delete the run dirs to prove it)
+    import shutil
+
+    assert (tmp_path / "cache").is_dir()
+    shutil.rmtree(tmp_path / "runs")
+    exps2 = load_all(str(spec))
+    assert exps2["sc32"].sequences() == ["seq1", "seq2"]
