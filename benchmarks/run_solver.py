@@ -37,23 +37,16 @@ def main():
     overrides = dict(kv.split("=", 1) for kv in sys.argv[4:])
     overrides = {k: _parse(v) for k, v in overrides.items()}
 
-    from benchmarks.scale_bench import SIZES
+    from benchmarks.suite import make_problem
     from rootba_tpu.bal.bucketing import bucketize
-    from rootba_tpu.bal.synthetic import generate_synthetic_bal
     from rootba_tpu.config.options import SolverOptions, SolverType
     from rootba_tpu.log.summary import SolverSummary
     from rootba_tpu.solver.lm import optimize_lm
     from rootba_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
-    nc, nl, nobs = SIZES[name]
     t0 = time.monotonic()
-    p = generate_synthetic_bal(num_cams=nc, num_lms=nl,
-                               mean_obs_per_lm=nobs / nl,
-                               pixel_noise=1.0, seed=17)
-    p.normalize(100.0)
-    p.perturb(0.0, 0.01, 0.01, 38401)
-    p.filter_obs(0.1)
+    p = make_problem(name)
     print(f"gen {time.monotonic() - t0:.1f}s: {p.num_cameras} cams "
           f"{p.num_landmarks} lms {p.num_observations} obs", flush=True)
 

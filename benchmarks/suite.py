@@ -1,0 +1,213 @@
+"""Multi-problem benchmark suite: time-to-cost-threshold + kernel
+throughput, written to benchmarks/RESULTS.json.
+
+Implements the reference's named evaluation metric (performance-profile
+threshold `best + tau*(initial-best)`, latex/performance_profiles.py:
+19-90) over the synthetic BAL family, plus measured TFLOP/s for the
+stage1 linearization and the stage2 sqrt marginalization against the
+eval/num_ops analytic model (BASELINE "QR kernel TFLOP/s/chip" north
+star).
+
+    python -u benchmarks/suite.py ladybug49 trafalgar257 [...]
+    python -u benchmarks/suite.py --kernels   # kernel throughput only
+
+Each problem row: total solve time (20 LM iterations, fused loop where
+it compiles, host loop above the threshold), steady s/LM-iter, final
+cost, time to the tau=0.01 threshold. Results merge into RESULTS.json
+(one entry per (problem, solver)), with an ISO timestamp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "RESULTS.json")
+TAU = 0.01
+
+
+def make_problem(name, seed=17):
+    """Synthetic problem of the named dataset's size, preprocessed per
+    the CVPR'21 protocol; cached as npz (final-13682 generation alone
+    is ~5 min of host time)."""
+    from benchmarks.scale_bench import SIZES
+    from rootba_tpu.bal.problem import BalProblem
+    from rootba_tpu.bal.synthetic import generate_synthetic_bal
+
+    cache = f"/tmp/rootba_problems/{name}-s{seed}.npz"
+    if os.path.exists(cache):
+        return BalProblem.load_npz(cache)
+    nc, nl, nobs = SIZES[name]
+    p = generate_synthetic_bal(num_cams=nc, num_lms=nl,
+                               mean_obs_per_lm=nobs / nl,
+                               pixel_noise=1.0, seed=seed)
+    p.normalize(100.0)
+    p.perturb(0.0, 0.01, 0.01, 38401)
+    p.filter_obs(0.1)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    p.save_npz(cache)
+    return p
+
+
+def time_to_threshold_row(summary, tau=TAU):
+    costs = [it.cost.all.error for it in summary.iterations]
+    times = [it.cumulative_time_in_seconds for it in summary.iterations]
+    initial, best = costs[0], min(costs)
+    thresh = best + tau * (initial - best)
+    for c, t in zip(costs, times):
+        if c <= thresh:
+            return t, thresh
+    return float("inf"), thresh
+
+
+def run_problem(name, solver="SQUARE_ROOT", iters=20):
+    import jax
+
+    from rootba_tpu.bal.bucketing import bucketize
+    from rootba_tpu.config.options import SolverOptions, SolverType
+    from rootba_tpu.log.summary import SolverSummary
+    from rootba_tpu.solver.lm import bundle_adjust
+
+    p = make_problem(name)
+    opts = SolverOptions(
+        use_double=False, max_num_iterations=iters,
+        function_tolerance=0.0, verbosity_level=0,
+        solver_type=SolverType[solver])
+
+    t0 = time.monotonic()
+    s1 = SolverSummary()
+    pw = p.copy()
+    bundle_adjust(pw, opts, s1)  # warm (compile)
+    t_first = time.monotonic() - t0
+
+    s2 = SolverSummary()
+    pw = p.copy()
+    t0 = time.monotonic()
+    bundle_adjust(pw, opts, s2)
+    total = time.monotonic() - t0
+
+    its = s2.iterations
+    n_it = len(its) - 1
+    steady = ((its[-1].cumulative_time_in_seconds
+               - its[1].cumulative_time_in_seconds) / max(n_it - 1, 1)
+              if n_it >= 2 else total)
+    t_thresh, thresh = time_to_threshold_row(s2)
+    attributed = any(it.timing_attributed for it in its)
+    return {
+        "problem": name,
+        "solver": solver,
+        "lm_iters": n_it,
+        "total_time_s": round(total, 4),
+        "steady_s_per_it": round(steady, 4),
+        "first_run_with_compile_s": round(t_first, 1),
+        "initial_cost": round(its[0].cost.all.error, 1),
+        "final_cost": round(s2.final_cost.all.error, 1),
+        "time_to_threshold_tau0.01_s": (round(t_thresh, 4)
+                                        if t_thresh != float("inf")
+                                        else None),
+        "cost_threshold": round(thresh, 1),
+        "timing_attributed": attributed,
+        "device": str(jax.devices()[0]),
+        "recorded": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+
+
+def kernel_throughput(name="trafalgar"):
+    """Measured stage1 / stage2(QR) TFLOP/s vs the num_ops model, and
+    the dense CG GEMV bandwidth."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rootba_tpu.bal.bucketing import bucketize
+    from rootba_tpu.config.options import SolverOptions
+    from rootba_tpu.eval.num_ops import qr_counts
+    from rootba_tpu.solver.lm import create_linearizer, initial_state
+    from rootba_tpu.utils.jax_setup import sync
+
+    p = make_problem(name)
+    opts = SolverOptions(use_double=False, verbosity_level=0)
+    bp = bucketize(p, pow2_from=opts.bucket_pow2_from)
+    lin = create_linearizer(bp, opts, jnp.float32)
+    state = initial_state(bp, jnp.float32)
+    lam = jnp.asarray(1e-4, jnp.float32)
+
+    # model flops over the real obs-count distribution
+    counts = p.obs_per_landmark()
+    f_lin = sum(qr_counts(int(n)).linearize for n in counts)
+    f_marg = sum(qr_counts(int(n)).marginalize + qr_counts(int(n)).rhs
+                 for n in counts)
+
+    def timeit(fn, *args, reps=10):
+        out = sync(fn(*args))  # compile + warm
+        t0 = time.monotonic()
+        for _ in range(reps):
+            out = sync(fn(*args))
+        return (time.monotonic() - t0) / reps, out
+
+    t_s1, (lins, ps, _) = timeit(lin._stage1_fn, lin.consts, state.cams,
+                                 state.lm_ps)
+    t_s2, aux = timeit(lin._stage2_fn, lin.consts, lins, lam)
+
+    row = {
+        "problem": name,
+        "stage1_time_ms": round(t_s1 * 1e3, 3),
+        "stage1_model_gflop": round(f_lin / 1e9, 3),
+        "stage1_tflops": round(f_lin / t_s1 / 1e12, 4),
+        "stage2_time_ms": round(t_s2 * 1e3, 3),
+        "stage2_model_gflop": round(f_marg / 1e9, 3),
+        "stage2_tflops": round(f_marg / t_s2 / 1e12, 4),
+        "device": str(jax.devices()[0]),
+        "recorded": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+
+    # dense CG GEMV bandwidth (explicit-RCS mode only)
+    if getattr(lin, "explicit_rcs", False):
+        from rootba_tpu.solver.explicit_sc import sc_matvec_dense
+
+        stage2, Hd = aux
+        x = jnp.ones((bp.num_cameras, 9), jnp.float32)
+        mv = jax.jit(lambda H, v: sc_matvec_dense(H, v))
+        t_mv, _ = timeit(mv, Hd, x, reps=50)
+        nbytes = Hd.size * 4
+        row.update({
+            "gemv_time_us": round(t_mv * 1e6, 1),
+            "gemv_gbps": round(nbytes / t_mv / 1e9, 1),
+        })
+    return row
+
+
+def main():
+    from rootba_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    args = [a for a in sys.argv[1:]]
+    results = {}
+    if os.path.exists(RESULTS_PATH):
+        results = json.load(open(RESULTS_PATH))
+    if "--kernels" in args:
+        args.remove("--kernels")
+        row = kernel_throughput(args[0] if args else "trafalgar")
+        results.setdefault("kernels", {})[row["problem"]] = row
+        print(json.dumps(row, indent=1))
+    else:
+        solver = "SQUARE_ROOT"
+        if args and args[0].isupper():
+            solver = args.pop(0)
+        for name in args or ["ladybug", "trafalgar"]:
+            row = run_problem(name, solver)
+            results.setdefault("problems", {})[
+                f"{name}:{solver}"] = row
+            print(json.dumps(row, indent=1), flush=True)
+    with open(RESULTS_PATH, "w") as fp:
+        json.dump(results, fp, indent=1, sort_keys=True)
+    print(f"saved {RESULTS_PATH}")
+
+
+if __name__ == "__main__":
+    main()

@@ -161,8 +161,13 @@ class SolverOptions:
     initial_trust_region_radius: float = opt(1e4, logscale=True)
     min_trust_region_radius: float = opt(1e-32, logscale=True)
     max_trust_region_radius: float = opt(1e16, logscale=True)
-    min_lm_diagonal: float = opt(1e-6, logscale=True)
-    max_lm_diagonal: float = opt(1e32, logscale=True)
+    min_lm_diagonal: float = opt(
+        1e-6, logscale=True,
+        help="CERES baseline only (like the reference: manual solvers "
+             "ignore it, ceres/option_utils.cpp:97-98)")
+    max_lm_diagonal: float = opt(
+        1e32, logscale=True,
+        help="CERES baseline only (like the reference)")
     min_linear_solver_iterations: int = opt(0)
     max_linear_solver_iterations: int = opt(500)
     eta: float = opt(1e-1, help="CG forcing-sequence / q-tolerance")
@@ -172,8 +177,13 @@ class SolverOptions:
     preconditioner_type: PreconditionerType = opt(
         PreconditionerType.SCHUR_JACOBI)
     function_tolerance: float = opt(1e-6)
-    gradient_tolerance: float = opt(0.0)
-    parameter_tolerance: float = opt(0.0)
+    gradient_tolerance: float = opt(
+        0.0, help="CERES baseline termination (gtol); the manual "
+                  "solvers use function_tolerance only, like the "
+                  "reference optimize_lm_ours")
+    parameter_tolerance: float = opt(
+        0.0, help="CERES baseline termination (xtol); manual solvers "
+                  "ignore it, like the reference")
 
     use_double: bool = opt(
         True, help="use float64 (CPU / emulated on TPU) instead of float32")

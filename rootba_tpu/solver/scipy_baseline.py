@@ -171,8 +171,12 @@ def bundle_adjust_scipy(
         loss=loss,
         f_scale=options.residual.huber_parameter,
         max_nfev=max(options.max_num_iterations, 1),
+        # tolerance mapping mirrors the reference's Ceres path
+        # (ceres/option_utils.cpp:107-109: function/gradient/parameter
+        # tolerances pass through to the external solver)
         ftol=options.function_tolerance or 1e-12,
-        xtol=1e-14, gtol=1e-14,
+        xtol=options.parameter_tolerance or 1e-14,
+        gtol=options.gradient_tolerance or 1e-14,
         verbose=0,
         callback=callback,
     )
