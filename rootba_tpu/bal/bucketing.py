@@ -85,6 +85,14 @@ def _bucket_size_for(count: int, pow2_from: int) -> int:
     return n
 
 
+def _bucket_sizes_vec(counts: np.ndarray, pow2_from: int) -> np.ndarray:
+    """Vectorized _bucket_size_for (a per-landmark Python loop costs
+    ~1 min alone at final-13682's 4.4M landmarks)."""
+    c = np.maximum(counts.astype(np.int64), 1)
+    pow2 = np.int64(1) << np.ceil(np.log2(c)).astype(np.int64)
+    return np.where(c < pow2_from, c, pow2)
+
+
 def bucketize(
     problem: BalProblem,
     pow2_from: int = 9,
@@ -99,7 +107,7 @@ def bucketize(
     if counts.min(initial=2) < 2:
         raise ValueError("landmarks must have >= 2 observations; "
                          "run filter_obs first")
-    sizes = np.array([_bucket_size_for(int(c), pow2_from) for c in counts])
+    sizes = _bucket_sizes_vec(counts, pow2_from)
 
     # merge undersized buckets into the next larger one: a bucket with a
     # handful of landmarks costs a full extra compiled program section
