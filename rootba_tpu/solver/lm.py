@@ -270,6 +270,60 @@ class LinearizerBase:
         if interval and self._attempt_idx % interval == 0:
             return self._attempt_calibrated(lam)
 
+        mode = getattr(self, "_attempt_mode", "full")
+        if mode == "full":
+            try:
+                return self._attempt_full(lam)
+            except jax.errors.JaxRuntimeError as e:
+                # the one-dispatch program can exceed the compile
+                # service's memory at very large problem sizes where
+                # the separate stages still compile; degrade to a
+                # two-dispatch split (stage2 | lsolve+apply+error)
+                self._attempt_mode = mode = "half"
+                self._note_fallback("half", e)
+        if mode == "half":
+            try:
+                return self._attempt_half(lam)
+            except jax.errors.JaxRuntimeError as e:
+                self._attempt_mode = "separate"
+                self._note_fallback("separate", e)
+        return self._attempt_calibrated(lam)
+
+    def _note_fallback(self, mode, e):
+        if self.options.verbosity_level >= 2:
+            print(f"\t[attempt fusion degraded to '{mode}': compile "
+                  f"failed: {str(e).splitlines()[0][:120]}]")
+
+    def _attempt_timing(self, dt, cg_iters, cg_term, keys,
+                        measured=None):
+        """Split a fused dispatch's measured dt over stage fields by
+        the latest calibration fractions (flagged attributed)."""
+        if self.it_summary is None:
+            return
+        f = self._timing_fracs or {
+            "prepare": 0.1, "lsolve": 0.7, "bsub": 0.1, "err": 0.1}
+        sub = {k: f[k] for k in keys}
+        norm = sum(sub.values()) or 1.0
+        fields = {
+            "prepare": self.prepare_field,
+            "lsolve": "solve_reduced_system_time_in_seconds",
+            "bsub": "back_substitution_time_in_seconds",
+        }
+        for k in keys:
+            v = dt * sub[k] / norm
+            if k == "err":
+                self.it_summary.residual_evaluation_time_in_seconds += v
+            else:
+                setattr(self.it_summary, fields[k], v)
+        for k, v in (measured or {}).items():
+            setattr(self.it_summary, fields[k], v)
+        self.it_summary.timing_attributed = True
+        self.it_summary.linear_solver_iterations = int(cg_iters)
+        self.it_summary.linear_solver_message = (
+            f"cg_term={int(cg_term)} iters={int(cg_iters)}")
+        self.it_summary.linear_solver_type = self.linear_solver_type
+
+    def _attempt_full(self, lam: float):
         if getattr(self, "_attempt_fn", None) is None:
             solve_pure = self.solve_pure
             apply_pure = self.apply_pure
@@ -297,22 +351,50 @@ class LinearizerBase:
                              self.state.lm_ps, self._lins,
                              self._pose_scale, lam_arr))
         dt = time.monotonic() - t0
-        if self.it_summary is not None:
-            f = self._timing_fracs or {
-                "prepare": 0.1, "lsolve": 0.7, "bsub": 0.1, "err": 0.1}
-            setattr(self.it_summary, self.prepare_field,
-                    dt * f["prepare"])
-            self.it_summary.solve_reduced_system_time_in_seconds = (
-                dt * f["lsolve"])
-            self.it_summary.back_substitution_time_in_seconds = (
-                dt * f["bsub"])
-            self.it_summary.residual_evaluation_time_in_seconds += (
-                dt * f["err"])
-            self.it_summary.timing_attributed = True
-            self.it_summary.linear_solver_iterations = int(cg_iters)
-            self.it_summary.linear_solver_message = (
-                f"cg_term={int(cg_term)} iters={int(cg_iters)}")
-            self.it_summary.linear_solver_type = self.linear_solver_type
+        self._attempt_timing(dt, cg_iters, cg_term,
+                             ("prepare", "lsolve", "bsub", "err"))
+        if self.summary is not None:
+            self.summary.num_linear_solves += 1
+            self.summary.num_residual_evaluations += 1
+        return (BAState(cams=cams2, lm_ps=lm_ps2), float(l_diff),
+                ResidualInfoHost.from_device(ri2), bool(inc_finite))
+
+    def _attempt_half(self, lam: float):
+        """Two-dispatch attempt: stage2/prepare alone (often the
+        compile-heaviest program section at scale), then
+        lsolve+apply+error fused."""
+        if getattr(self, "_attempt2_fn", None) is None:
+            lsolve_pure = self.lsolve_pure
+            apply_pure = self.apply_pure
+            error_pure = self.error_pure
+
+            def attempt2_fn(consts, cams, lm_ps, lins, pose_scale, aux):
+                inc, stage2, cg_iters, cg_term = lsolve_pure(
+                    consts, lins, aux)
+                inc_finite = jnp.all(jnp.isfinite(inc))
+                safe_inc = jnp.where(inc_finite, inc,
+                                     jnp.zeros_like(inc))
+                cams2, lm_ps2, l_diff = apply_pure(
+                    consts, cams, lm_ps, lins, stage2, pose_scale,
+                    safe_inc)
+                ri2 = error_pure(consts, cams2, lm_ps2)
+                return (cams2, lm_ps2, l_diff, ri2, cg_iters, cg_term,
+                        inc_finite)
+
+            self._attempt2_fn = jax.jit(attempt2_fn)
+
+        t0 = time.monotonic()
+        lam_arr = self._scalar(lam)
+        aux = sync(self._stage2_fn(self.consts, self._lins, lam_arr))
+        t1 = time.monotonic()
+        cams2, lm_ps2, l_diff, ri2, cg_iters, cg_term, inc_finite = sync(
+            self._attempt2_fn(self.consts, self.state.cams,
+                              self.state.lm_ps, self._lins,
+                              self._pose_scale, aux))
+        dt2 = time.monotonic() - t1
+        self._attempt_timing(dt2, cg_iters, cg_term,
+                             ("lsolve", "bsub", "err"),
+                             measured={"prepare": t1 - t0})
         if self.summary is not None:
             self.summary.num_linear_solves += 1
             self.summary.num_residual_evaluations += 1
@@ -674,20 +756,12 @@ def optimize_lm(
             j += 1
 
             if use_attempt:
+                # attempt() internally degrades full -> half -> separate
+                # dispatches if the fused programs exceed the compile
+                # service's limits at scale
                 backup_state = linearizer.state
-                try:
-                    new_state, l_diff, ri2, inc_finite = (
-                        linearizer.attempt(lam))
-                except jax.errors.JaxRuntimeError as e:
-                    # the one-dispatch attempt program can exceed the
-                    # compile service's memory at very large problem
-                    # sizes where the separate stages still compile;
-                    # fall back to per-stage dispatches for this run
-                    if verbose:
-                        print(f"\t[attempt fusion disabled: compile "
-                              f"failed: {str(e).splitlines()[0][:120]}]")
-                    use_attempt = False
-                    linearizer._attempt_fn = None
+                new_state, l_diff, ri2, inc_finite = (
+                    linearizer.attempt(lam))
             if not use_attempt:
                 inc = linearizer.solve(lam)
                 inc_finite = bool(jnp.all(jnp.isfinite(inc)))
