@@ -221,3 +221,43 @@ _template = {{ _name = "exp_kind", kind = {{ _argument = "product", _value = ["q
     shutil.rmtree(tmp_path / "runs")
     exps2 = load_all(str(spec))
     assert exps2["sc32"].sequences() == ["seq1", "seq2"]
+
+
+def test_html_viewer(tmp_path):
+    """Interactive HTML viewer (pangolin GUI analog): payload buffers
+    decode back to the problem's geometry; emitted file is
+    self-contained (no external URLs)."""
+    import base64
+
+    from rootba_tpu.bal.synthetic import generate_synthetic_bal
+    from rootba_tpu.eval.html_view import (
+        _reprojections,
+        export_html,
+        viewer_payload,
+    )
+
+    p = generate_synthetic_bal(num_cams=5, num_lms=60,
+                               mean_obs_per_lm=3.0, seed=3)
+    payload = viewer_payload(p)
+
+    def unpack(b64, shape):
+        return np.frombuffer(base64.b64decode(b64),
+                             dtype="<f4").reshape(shape)
+
+    pts = unpack(payload["points"], (-1, 3))
+    np.testing.assert_allclose(pts, p.lm_p, rtol=1e-6)
+    assert payload["num_cams"] == 5
+    # overlay offsets partition the per-camera obs
+    offs = payload["ov_off"]
+    assert offs[-1] == p.num_observations
+    ov_obs = unpack(payload["ov_obs"], (-1, 2))
+    assert ov_obs.shape[0] == p.num_observations
+    # reprojections match the host residual model: reproj - uv = res
+    rep = _reprojections(p)
+    assert np.isfinite(rep).all()
+
+    out = tmp_path / "map.html"
+    export_html(p, str(out))
+    html = out.read_text()
+    assert "http://" not in html and "https://" not in html
+    assert "rootba_tpu map" in html
