@@ -62,12 +62,13 @@ def main():
              if summary2.iterations else -1.0)
     cg_total = sum(it.linear_solver_iterations
                    for it in summary2.iterations)
-    # steady-state: per-iteration wall time excluding the per-call
-    # trace/cache-load overhead before iteration 1 completes
+    # steady-state: median per-iteration wall time after iteration 1
+    # (excludes per-call trace/cache-load overhead and mid-run compiles
+    # of backtracking/calibration program variants)
     its = summary2.iterations
-    steady = ((its[-1].cumulative_time_in_seconds
-               - its[1].cumulative_time_in_seconds) / max(n_it - 1, 1)
-              if n_it >= 2 else elapsed / max(n_it, 1))
+    per_it = sorted(it.iteration_time_in_seconds for it in its[2:])
+    steady = (per_it[len(per_it) // 2] if per_it
+              else elapsed / max(n_it, 1))
     print(json.dumps({
         "problem": name, "cams": nc, "lms": p.num_landmarks,
         "obs": p.num_observations, "bucketize_s": round(t_bucket, 2),

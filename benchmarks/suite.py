@@ -93,9 +93,11 @@ def run_problem(name, solver="SQUARE_ROOT", iters=20):
 
     its = s2.iterations
     n_it = len(its) - 1
-    steady = ((its[-1].cumulative_time_in_seconds
-               - its[1].cumulative_time_in_seconds) / max(n_it - 1, 1)
-              if n_it >= 2 else total)
+    # steady-state: median per-iteration wall time after iteration 1
+    # (endpoint differences get skewed by mid-run compiles of
+    # backtracking/calibration program variants)
+    per_it = sorted(it.iteration_time_in_seconds for it in its[2:])
+    steady = (per_it[len(per_it) // 2] if per_it else total)
     t_thresh, thresh = time_to_threshold_row(s2)
     attributed = any(it.timing_attributed for it in its)
     return {

@@ -162,6 +162,15 @@ class LinearizerBase:
         self.it_summary: Optional[IterationSummary] = None
         self.summary: Optional[SolverSummary] = None
         self._attempt_idx = -1
+        # fused-attempt starting mode: the one-dispatch attempt program
+        # is the same scale as the fused-loop body, so the same obs
+        # threshold applies -- above it the compile service gets
+        # SIGKILLed after minutes (measured at venice, 5M obs). Start
+        # in the two-dispatch 'half' split there; runtime degradation
+        # (attempt()) still handles the remaining failure modes.
+        self._attempt_mode = (
+            "full" if bp.num_observations <= options.fused_obs_threshold
+            else "half")
         # measured stage fractions of a fused attempt dispatch, updated
         # by each calibration pass (keys: prepare, lsolve, bsub, err)
         self._timing_fracs: Optional[dict] = None
