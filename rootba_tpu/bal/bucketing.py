@@ -301,13 +301,18 @@ def _csr_rows(pos: np.ndarray, seg: np.ndarray, num_segments: int,
 
 
 def build_pair_csr(buckets, num_cameras: int, width: int = 64,
-                   grid_n: int | None = None) -> PairCsr:
+                   grid_n: int | None = None,
+                   dense_grid: bool = True) -> PairCsr:
     """Build the canonicalized strict-pair index (see PairCsr).
 
     grid_n > num_cameras lays the dense block tables out on a padded
     [grid_n, grid_n] camera grid (padded blocks stay zero) -- used by
     the VMEM-resident CG kernel, which wants the camera axis padded to
-    a lane multiple."""
+    a lane multiple.
+
+    dense_grid=False skips the [G*G] up_idx/lo_idx block maps (the
+    block-sparse RCS mode never densifies; at final-13682's 13682
+    cameras each map would be 750 MB)."""
     N = num_cameras
     G = grid_n if grid_n is not None else N
     wi_list, wj_list, code_list = [], [], []
@@ -358,10 +363,13 @@ def build_pair_csr(buckets, num_cameras: int, width: int = 64,
 
     rows = (unique // N).astype(np.int64)
     cols = (unique % N).astype(np.int64)
-    up_idx = np.full(G * G, P, dtype=np.int64)
-    up_idx[rows * G + cols] = np.arange(P, dtype=np.int64)
-    lo_idx = np.full(G * G, P, dtype=np.int64)
-    lo_idx[cols * G + rows] = np.arange(P, dtype=np.int64)
+    if dense_grid:
+        up_idx = np.full(G * G, P, dtype=np.int64)
+        up_idx[rows * G + cols] = np.arange(P, dtype=np.int64)
+        lo_idx = np.full(G * G, P, dtype=np.int64)
+        lo_idx[cols * G + rows] = np.arange(P, dtype=np.int64)
+    else:
+        up_idx = lo_idx = np.zeros(0, dtype=np.int64)
 
     return PairCsr(
         wi_idx=wi_idx.astype(np.int32), wj_idx=wj_idx.astype(np.int32),
@@ -436,8 +444,10 @@ def _pad_runs(code_sorted, width, *cols):
 
 def build_pair_strips(buckets, num_cameras: int, width: int = 64,
                       grid_n: int | None = None,
-                      min_group: int = 16384) -> PairStrips:
-    """Build the landmark-strip strict-pair index (see PairStrips)."""
+                      min_group: int = 16384,
+                      dense_grid: bool = True) -> PairStrips:
+    """Build the landmark-strip strict-pair index (see PairStrips).
+    dense_grid=False skips the [G*G] up_idx/lo_idx maps (BSR mode)."""
     N = num_cameras
     G = grid_n if grid_n is not None else N
 
@@ -528,10 +538,13 @@ def build_pair_strips(buckets, num_cameras: int, width: int = 64,
 
     rows = (unique // N).astype(np.int64)
     cols = (unique % N).astype(np.int64)
-    up_idx = np.full(G * G, P, dtype=np.int64)
-    up_idx[rows * G + cols] = np.arange(P, dtype=np.int64)
-    lo_idx = np.full(G * G, P, dtype=np.int64)
-    lo_idx[cols * G + rows] = np.arange(P, dtype=np.int64)
+    if dense_grid:
+        up_idx = np.full(G * G, P, dtype=np.int64)
+        up_idx[rows * G + cols] = np.arange(P, dtype=np.int64)
+        lo_idx = np.full(G * G, P, dtype=np.int64)
+        lo_idx[cols * G + rows] = np.arange(P, dtype=np.int64)
+    else:
+        up_idx = lo_idx = np.zeros(0, dtype=np.int64)
 
     return PairStrips(
         group_bucket=tuple(gb), group_i=tuple(gi), group_j=tuple(gj),
@@ -626,6 +639,61 @@ def build_cam_strips(buckets, num_cameras: int, width: int = 64,
     return CamStrips(
         group_bucket=tuple(gb), group_i=tuple(gi),
         lm_idx=tuple(lm_groups), wi_idx=wi_idx,
+        idx2=idx2.astype(np.int32))
+
+
+class BsrMatvec(NamedTuple):
+    """Camera-major index for the block-sparse RCS matvec.
+
+    The dense z-space GEMV (sc_matvec_dense) needs the [9G, 9G] matrix
+    in HBM -- 60 GB at final-13682's 13682 cameras. But BAL problems'
+    camera-pair graphs are sparse at that scale (~0.2% fill on
+    final-13682: 179k unique pairs of 93M possible), so the CG operator
+    is instead applied block-sparsely: each unique strict pair (i, j)
+    contributes H_ij x_j to y_i AND H_ij' x_i to y_j. Both directions
+    are laid out as one camera-major entry list (2P entries), CSR-
+    packed into fixed-width runs exactly like CamCsr: per entry, gather
+    the [81] block row from the concatenated [2P, 81] table
+    [H_up; H_up'] and the [9] x row of the source camera, multiply-
+    reduce, sum runs, idx2 per camera. No scatter anywhere; the
+    transpose is a static column permutation applied once per stage2,
+    not per CG iteration.
+
+    Per-CG-iteration cost is ~2P gathered rows (4 ns/row regime) --
+    final-13682: ~360k rows = ~1.5 ms vs ~250 ms for the matrix-free
+    implicit operator (which streams all 29M observations).
+    """
+
+    blk_idx: np.ndarray  # [R, width] int32 row into the [2P,81] block
+    #   table: pair id p for (row=pair_row[p]), P + p for the
+    #   transposed direction (row=pair_col[p]); pad = 2P (gather-fill 0)
+    col_idx: np.ndarray  # [R, width] int32 source camera of x (pad = N)
+    idx2: np.ndarray  # [N, vmax] int32 run-row ids (pad = R)
+
+
+def build_bsr_matvec(pair_row: np.ndarray, pair_col: np.ndarray,
+                     num_cameras: int, width: int = 64) -> BsrMatvec:
+    """Build the block-sparse matvec index from the strict-pair list
+    (pair_row[p] < pair_col[p], as produced by build_pair_csr /
+    build_pair_strips)."""
+    P = pair_row.size
+    N = num_cameras
+    rows = np.concatenate([pair_row.astype(np.int64),
+                           pair_col.astype(np.int64)])
+    cols = np.concatenate([pair_col.astype(np.int64),
+                           pair_row.astype(np.int64)])
+    blks = np.concatenate([np.arange(P, dtype=np.int64),
+                           P + np.arange(P, dtype=np.int64)])
+    order = np.argsort(rows, kind="stable")
+    rows, cols, blks = rows[order], cols[order], blks[order]
+    pos_rows, idx2, _ = _csr_rows(
+        np.arange(rows.size, dtype=np.int64), rows, N, width, rows.size)
+    blks_ext = np.concatenate([blks, [2 * P]])
+    cols_ext = np.concatenate([cols, [N]])
+    sel = np.minimum(pos_rows, rows.size)
+    return BsrMatvec(
+        blk_idx=blks_ext[sel].astype(np.int32),
+        col_idx=cols_ext[sel].astype(np.int32),
         idx2=idx2.astype(np.int32))
 
 

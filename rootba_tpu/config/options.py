@@ -272,10 +272,14 @@ class SolverOptions:
                      "row gathers per iteration); 'dense' assembles the "
                      "reduced camera system explicitly once per stage2 "
                      "and runs CG as dense GEMVs (~47x faster per CG "
-                     "iteration at trafalgar scale); 'auto' picks dense "
-                     "on a single device when num_cameras <= "
-                     "dense_rcs_max_cameras and the preconditioner is "
-                     "SCHUR_JACOBI")
+                     "iteration at trafalgar scale); 'bsr' assembles "
+                     "the same system block-sparsely (unique camera "
+                     "pairs only) and applies it by CSR gather-reduce "
+                     "-- for camera counts whose dense [9N,9N] matrix "
+                     "exceeds HBM (final-13682: 60 GB dense vs ~170 MB "
+                     "of blocks); 'auto' picks dense on a single device "
+                     "when num_cameras <= dense_rcs_max_cameras, bsr "
+                     "above, implicit under a mesh or forced-JACOBI")
     compensated_accumulation: bool = opt(
         True, help="f32 mode: accumulate the CG dot products and the "
                    "model-cost decrease l_diff with error-free "

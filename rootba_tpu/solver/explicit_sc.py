@@ -244,6 +244,39 @@ def sc_assemble_dense(lins, buckets, pair_csr, cam_flat, cam_csr, lam,
     return Hd, diag, b, Hll_invs
 
 
+def sc_assemble_bsr(lins, buckets, pair_idx, cam_flat, cam_csr, lam,
+                    num_cameras, cam_strips=None):
+    """Block-sparse SC assembly (same H as sc_assemble_dense, no
+    densify): pair block (c_i, c_j) = -T_i' Hll^-1 T_j with
+    T = Jl'Jp. For camera counts whose dense [9G, 9G] system exceeds
+    HBM (final-13682). Returns (blocks2, diag, b, Hll_invs) with
+    blocks2/diag as in linearization.assemble_rcs_bsr."""
+    from rootba_tpu.solver.linearization import assemble_rcs_bsr
+
+    b, Hll_invs = sc_rhs_and_hll(lins, buckets, lam, num_cameras,
+                                 cam_csr=cam_csr, cam_strips=cam_strips)
+
+    T_parts, HT_parts, Jp_parts = [], [], []
+    for lin, Hll_inv in zip(lins, Hll_invs):
+        L, n = lin.Jp.shape[0], lin.Jp.shape[1]
+        T = jnp.sum(lin.Jl[..., :, None] * lin.Jp[..., None, :], axis=2)
+        HT = jnp.sum(Hll_inv[:, None, :, :, None] * T[:, :, None, :, :],
+                     axis=3)  # [L,n,3,9]
+        T_parts.append(T.reshape(L * n, 3, P9))
+        HT_parts.append(HT.reshape(L * n, 3, P9))
+        Jp_parts.append(lin.Jp.reshape(L * n, 2, P9))
+
+    T_flat = jnp.concatenate(T_parts, axis=0)
+    HT_flat = jnp.concatenate(HT_parts, axis=0)
+    Jp_flat = jnp.concatenate(Jp_parts, axis=0)
+    blocks2, diag = assemble_rcs_bsr(
+        HT_flat, T_flat,
+        [(Jp_flat, Jp_flat, 1.0), (HT_flat, T_flat, -1.0)],
+        cam_flat, cam_csr, pair_idx, lam, num_cameras,
+        buckets=buckets, cam_strips=cam_strips)
+    return blocks2, diag, b, Hll_invs
+
+
 def sc_matvec(stage2: SCStage2, pairs: PairStructure, num_cameras, x):
     """Block-sparse matvec (cg/block_sparse_matrix.hpp:223-249)."""
     xg = x[pairs.pair_col]  # [P,9]
@@ -386,20 +419,24 @@ def sc_back_substitute(lins, buckets, Hll_invs, lm_ps, pose_inc,
 from rootba_tpu.solver.lm import BAState, LinearizerBase  # noqa: E402
 
 
-def _build_pair_index(bp, num_cameras, pair_gather):
-    """Strict-pair index for the dense-RCS paths, in the configured
-    gather formulation (see SolverOptions.pair_gather)."""
+def _build_pair_index(bp, num_cameras, pair_gather, dense_grid=True):
+    """Strict-pair index for the explicit-RCS paths, in the configured
+    gather formulation (see SolverOptions.pair_gather). Returns
+    (device_index, host_index); dense_grid=False skips the [G*G] block
+    maps (BSR mode)."""
     if pair_gather == "strips":
         from rootba_tpu.bal.bucketing import build_pair_strips
         from rootba_tpu.solver.linearization import PairStripsIndex
 
-        return PairStripsIndex.from_host(
-            build_pair_strips(bp.buckets, num_cameras))
+        host = build_pair_strips(bp.buckets, num_cameras,
+                                 dense_grid=dense_grid)
+        return PairStripsIndex.from_host(host), host
     from rootba_tpu.bal.bucketing import build_pair_csr
     from rootba_tpu.solver.linearization import PairCsrIndex
 
-    return PairCsrIndex.from_host(
-        build_pair_csr(bp.buckets, num_cameras))
+    host = build_pair_csr(bp.buckets, num_cameras,
+                          dense_grid=dense_grid)
+    return PairCsrIndex.from_host(host), host
 
 
 class SCLinearizer(LinearizerBase):
@@ -414,12 +451,32 @@ class SCLinearizer(LinearizerBase):
         opts = self.options
         self.dense_rcs = (self.mesh is None and 0 < self.num_cameras
                           <= opts.dense_rcs_max_cameras)
+        # above the dense-HBM camera limit on a single device, assemble
+        # block-sparsely instead of falling back to the segment-sum
+        # scatter path (which materializes [L,n,n,81] pair tensors --
+        # tens of GB at final-13682 scale); the scatter path remains
+        # the mesh path (GSPMD lowers it to local scatters + psum).
+        # dense_rcs_max_cameras=0 keeps its historical meaning --
+        # explicit RCS disabled entirely (scatter/implicit paths)
+        self.bsr_rcs = (self.mesh is None and not self.dense_rcs
+                        and opts.dense_rcs_max_cameras > 0)
         self.pair_csr = None
+        bsr = None
         cstrips = None
-        if self.dense_rcs:
+        if self.dense_rcs or self.bsr_rcs:
             self.pairs = None
-            self.pair_csr = _build_pair_index(
-                self.bp, self.num_cameras, opts.pair_gather)
+            self.pair_csr, pairs_host = _build_pair_index(
+                self.bp, self.num_cameras, opts.pair_gather,
+                dense_grid=self.dense_rcs)
+            if self.bsr_rcs:
+                from rootba_tpu.bal.bucketing import build_bsr_matvec
+                from rootba_tpu.solver.linearization import (
+                    BsrMatvecIndex,
+                )
+
+                bsr = BsrMatvecIndex.from_host(build_bsr_matvec(
+                    pairs_host.pair_row, pairs_host.pair_col,
+                    self.num_cameras))
             if opts.pair_gather == "strips":
                 from rootba_tpu.bal.bucketing import build_cam_strips
                 from rootba_tpu.solver.linearization import (
@@ -435,7 +492,7 @@ class SCLinearizer(LinearizerBase):
         # buckets + RCS sparsity structure + camera-CSR as runtime args
         # (see LinearizerBase.consts: avoids giant embedded HLO constants)
         self.consts = (self.buckets, self.pairs, self.cam_csr,
-                       self.pair_csr, cam_flat, cstrips)
+                       self.pair_csr, cam_flat, cstrips, bsr)
         precond_type = opts.preconditioner_type
         if precond_type not in (PreconditionerType.SCHUR_JACOBI,
                                 PreconditionerType.POWER_SCHUR_COMPLEMENT):
@@ -459,13 +516,22 @@ class SCLinearizer(LinearizerBase):
         def stage2_fn(consts, lins, lam):
             """Assembly + preconditioner materials (reference get_Hb +
             preconditioner construction, linearizor_sc.cpp:112-177)."""
-            buckets, pairs, csr, pair_csr, cam_flat, cstrips_ = consts
+            (buckets, pairs, csr, pair_csr, cam_flat, cstrips_,
+             bsr_) = consts
             dtype = lins[0].Jp.dtype
             H_dense = None
             if self.dense_rcs:
                 H_dense, diag, b, Hll_invs = sc_assemble_dense(
                     lins, buckets, pair_csr, cam_flat, csr, lam,
                     self.num_cameras, cam_strips=cstrips_)
+                stage2 = SCStage2(
+                    H=jnp.zeros((0, P9, P9), dtype), b=b,
+                    Hll_inv=Hll_invs, lam=jnp.asarray(lam, dtype))
+            elif self.bsr_rcs:
+                blocks2, diag, b, Hll_invs = sc_assemble_bsr(
+                    lins, buckets, pair_csr, cam_flat, csr, lam,
+                    self.num_cameras, cam_strips=cstrips_)
+                H_dense = (blocks2, diag)
                 stage2 = SCStage2(
                     H=jnp.zeros((0, P9, P9), dtype), b=b,
                     Hll_inv=Hll_invs, lam=jnp.asarray(lam, dtype))
@@ -506,11 +572,19 @@ class SCLinearizer(LinearizerBase):
             return stage2, H_dense, chol, hpp_chol, E0
 
         def lsolve_fn(consts, lins, aux):
-            buckets, pairs, csr, pair_csr, cam_flat, cstrips_ = consts
+            (buckets, pairs, csr, pair_csr, cam_flat, cstrips_,
+             bsr_) = consts
             stage2, H_dense, chol, hpp_chol, E0 = aux
             if self.dense_rcs:
                 def matvec(x):
                     return sc_matvec_dense(H_dense, x)
+            elif self.bsr_rcs:
+                from rootba_tpu.solver.linearization import bsr_matvec
+
+                blocks2, diag_b = H_dense
+
+                def matvec(x):
+                    return bsr_matvec(blocks2, diag_b, bsr_, x)
             else:
                 def matvec(x):
                     return sc_matvec(stage2, pairs, self.num_cameras, x)
@@ -601,6 +675,31 @@ def e0_assemble_dense(lins, buckets, Hll_invs, pair_csr, cam_flat,
     return -negE0
 
 
+def e0_assemble_bsr(lins, buckets, Hll_invs, pair_idx, cam_flat,
+                    cam_csr, num_cameras, cam_strips=None):
+    """Block-sparse E0 (same matrix as e0_assemble_dense, no densify):
+    for camera counts whose dense E0 exceeds HBM. Returns the NEGATED
+    (blocks2, diag) pair -- apply as e0(v) = -bsr_matvec(blocks2,
+    diag, bsr, v)."""
+    from rootba_tpu.solver.linearization import assemble_rcs_bsr
+
+    T_parts, HT_parts = [], []
+    for lin, Hll_inv in zip(lins, Hll_invs):
+        L, n = lin.Jp.shape[0], lin.Jp.shape[1]
+        T = jnp.sum(lin.Jl[..., :, None] * lin.Jp[..., None, :], axis=2)
+        HT = jnp.sum(Hll_inv[:, None, :, :, None] * T[:, :, None, :, :],
+                     axis=3)
+        T_parts.append(T.reshape(L * n, 3, P9))
+        HT_parts.append(HT.reshape(L * n, 3, P9))
+    T_flat = jnp.concatenate(T_parts, axis=0)
+    HT_flat = jnp.concatenate(HT_parts, axis=0)
+    zero_lam = jnp.zeros((), T_flat.dtype)
+    return assemble_rcs_bsr(
+        HT_flat, T_flat, [(HT_flat, T_flat, -1.0)], cam_flat, cam_csr,
+        pair_idx, zero_lam, num_cameras, buckets=buckets,
+        cam_strips=cam_strips)
+
+
 class PowerSCLinearizer(SCLinearizer):
     """POWER_SCHUR_COMPLEMENT solver (reference
     solver/linearizor_power_sc.cpp): power-series solve, no CG. With
@@ -614,11 +713,28 @@ class PowerSCLinearizer(SCLinearizer):
         opts = self.options
         self.dense_rcs = (self.mesh is None and 0 < self.num_cameras
                           <= opts.dense_rcs_max_cameras)
+        # above the dense limit on a single device, assemble E0
+        # block-sparsely (see e0_assemble_bsr) instead of the implicit
+        # per-obs sweep (two O-sized row gathers per power iteration);
+        # dense_rcs_max_cameras=0 disables explicit modes entirely
+        self.bsr_rcs = (self.mesh is None and not self.dense_rcs
+                        and opts.dense_rcs_max_cameras > 0)
         self.pair_csr = None
+        bsr = None
         cstrips = None
-        if self.dense_rcs:
-            self.pair_csr = _build_pair_index(
-                self.bp, self.num_cameras, opts.pair_gather)
+        if self.dense_rcs or self.bsr_rcs:
+            self.pair_csr, pairs_host = _build_pair_index(
+                self.bp, self.num_cameras, opts.pair_gather,
+                dense_grid=self.dense_rcs)
+            if self.bsr_rcs:
+                from rootba_tpu.bal.bucketing import build_bsr_matvec
+                from rootba_tpu.solver.linearization import (
+                    BsrMatvecIndex,
+                )
+
+                bsr = BsrMatvecIndex.from_host(build_bsr_matvec(
+                    pairs_host.pair_row, pairs_host.pair_col,
+                    self.num_cameras))
             if opts.pair_gather == "strips":
                 from rootba_tpu.bal.bucketing import build_cam_strips
                 from rootba_tpu.solver.linearization import (
@@ -630,7 +746,7 @@ class PowerSCLinearizer(SCLinearizer):
         cam_flat = jnp.concatenate(
             [b.cam_idx.reshape(-1) for b in self.buckets])
         self.consts = (self.buckets, self.cam_csr, self.pair_csr,
-                       cam_flat, cstrips)
+                       cam_flat, cstrips, bsr)
 
         from rootba_tpu.solver.linearization import compute_error_buckets
 
@@ -645,7 +761,7 @@ class PowerSCLinearizer(SCLinearizer):
         def stage2_fn(consts, lins, lam):
             """prepare_Hb (reference sc/linearization_power_sc.hpp:93-125):
             RHS + cached Hll^-1 + damped per-camera Hpp Cholesky."""
-            buckets, csr, pair_csr, cam_flat, cstrips_ = consts
+            buckets, csr, pair_csr, cam_flat, cstrips_, bsr_ = consts
             dtype = lins[0].Jp.dtype
             # per-bucket damped Hll^-1 + RHS b (landmark_block stage())
             b, Hll_invs = sc_rhs_and_hll(lins, buckets, lam,
@@ -664,6 +780,11 @@ class PowerSCLinearizer(SCLinearizer):
                                        pair_csr, cam_flat, csr, lam,
                                        self.num_cameras,
                                        cam_strips=cstrips_)
+            elif self.bsr_rcs:
+                E0 = e0_assemble_bsr(lins, buckets, Hll_invs,
+                                     pair_csr, cam_flat, csr,
+                                     self.num_cameras,
+                                     cam_strips=cstrips_)
             stage2 = SCStage2(H=jnp.zeros((0, P9, P9), dtype), b=b,
                               Hll_inv=Hll_invs,
                               lam=jnp.asarray(lam, dtype))
@@ -671,7 +792,7 @@ class PowerSCLinearizer(SCLinearizer):
 
         def lsolve_fn(consts, lins, aux):
             """Power-series solve (sc/linearization_power_sc.hpp:127-154)."""
-            buckets, csr, pair_csr, cam_flat, cstrips_ = consts
+            buckets, csr, pair_csr, cam_flat, cstrips_, bsr_ = consts
             stage2, hpp_chol, E0 = aux
 
             def apply_hpp_inv(v):
@@ -680,6 +801,13 @@ class PowerSCLinearizer(SCLinearizer):
             if self.dense_rcs:
                 def apply_e0(v):
                     return sc_matvec_dense(E0, v)
+            elif self.bsr_rcs:
+                from rootba_tpu.solver.linearization import bsr_matvec
+
+                neg_blocks2, neg_diag = E0
+
+                def apply_e0(v):
+                    return -bsr_matvec(neg_blocks2, neg_diag, bsr_, v)
             else:
                 def apply_e0(v):
                     return e0_matvec(lins, buckets, stage2.Hll_inv,

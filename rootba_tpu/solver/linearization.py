@@ -512,6 +512,119 @@ def cam_gram_strips(terms, buckets, strips: CamStripsIndex) -> jnp.ndarray:
     return _strip_run_rows(buckets, strips, tabs, row_fn, 81)
 
 
+class BsrMatvecIndex(NamedTuple):
+    """Device copy of bucketing.BsrMatvec (see its docstring)."""
+
+    blk_idx: jnp.ndarray  # [R, width] int32 (pad = 2P)
+    col_idx: jnp.ndarray  # [R, width] int32 (pad = N)
+    idx2: jnp.ndarray  # [N, vmax] int32 (pad = R)
+
+    @staticmethod
+    def from_host(bm) -> "BsrMatvecIndex":
+        return BsrMatvecIndex(
+            blk_idx=jnp.asarray(bm.blk_idx),
+            col_idx=jnp.asarray(bm.col_idx),
+            idx2=jnp.asarray(bm.idx2))
+
+
+def assemble_rcs_bsr(strip_a, strip_b, diag_terms, cam_flat, csr,
+                     pairs, lam, num_cameras, buckets=None,
+                     cam_strips=None):
+    """Block-sparse RCS assembly: the same per-pair / per-camera
+    gather-reduces as assemble_rcs_dense, WITHOUT the densify -- for
+    problems whose dense [9G, 9G] system exceeds HBM (60 GB at
+    final-13682) but whose unique-camera-pair count is small (~179k
+    there, 0.2% fill).
+
+    Returns (blocks2, diag_blocks):
+      blocks2 [2P+?, 81] = [-H_up; -H_up'] -- the off-diagonal block
+        table the BSR matvec gathers (transpose = one static column
+        permutation, done here once per stage2, not per CG iteration);
+      diag_blocks [N, 9, 9] = per-camera diagonal + lam I (also the
+        SCHUR_JACOBI preconditioner).
+    """
+    P9_ = POSE_SIZE
+    dtype = strip_a.dtype
+    N = num_cameras
+    lam = lam.astype(dtype)
+
+    if isinstance(pairs, PairStripsIndex):
+        Hup = csr_pair_outer_strips(strip_a, strip_b, buckets, pairs)
+    else:
+        Hup = csr_pair_outer(strip_a, strip_b, pairs)  # [P, 81]
+
+    if cam_strips is not None:
+        diag81 = cam_gram_strips(diag_terms, buckets, cam_strips)
+    elif csr is not None:
+        view = _SelfPairView.of(csr)
+        diag81 = jnp.zeros((N, P9_ * P9_), dtype)
+        for A, B, sign in diag_terms:
+            g = csr_pair_outer(A, B, view)
+            diag81 = diag81 + sign * g
+    else:
+        dcon = jnp.zeros((strip_a.shape[0], P9_ * P9_), dtype)
+        for A, B, sign in diag_terms:
+            prod = jnp.sum(A[:, :, :, None] * B[:, :, None, :], axis=1)
+            dcon = dcon + sign * prod.reshape(-1, P9_ * P9_)
+        diag81 = jax.ops.segment_sum(dcon, cam_flat, num_segments=N)
+
+    perm_t = jnp.asarray(
+        np.arange(81).reshape(P9_, P9_).T.reshape(-1), jnp.int32)
+    blocks2 = jnp.concatenate(
+        [-Hup, -jnp.take(Hup, perm_t, axis=1)], axis=0)  # [2P, 81]
+    diag = diag81.reshape(N, P9_, P9_) + lam * jnp.eye(P9_, dtype=dtype)
+    return blocks2, diag
+
+
+def bsr_matvec(blocks2: jnp.ndarray, diag: jnp.ndarray,
+               bsr: BsrMatvecIndex, x: jnp.ndarray) -> jnp.ndarray:
+    """y = H x against the block-sparse RCS (blocks2, diag) from
+    assemble_rcs_bsr: per entry, gather the [81] off-diagonal block and
+    the source camera's x row, multiply-reduce on the VPU, sum the
+    fixed-width runs, idx2 per camera; plus the diagonal-block product.
+    The role sc_matvec_dense plays in the dense mode, at any camera
+    count (~2P gathered rows per application, no [9G, 9G] matrix)."""
+    P9_ = POSE_SIZE
+    N = x.shape[0]
+    R, W = bsr.blk_idx.shape
+    # row-chunked like csr_cam_reduce: one chunk's [cW, 81+9]
+    # transients live at a time
+    chunk = max(1, min(R, (512 << 10) // max(W, 1)))
+    Rpad = -(-R // chunk) * chunk
+    bidx, cidx = bsr.blk_idx, bsr.col_idx
+    if Rpad != R:
+        bidx = jnp.concatenate(
+            [bidx, jnp.full((Rpad - R, W), blocks2.shape[0], jnp.int32)])
+        cidx = jnp.concatenate(
+            [cidx, jnp.full((Rpad - R, W), N, jnp.int32)])
+
+    def chunk_sum(ix):
+        bi, ci = ix
+        Hb = jnp.take(blocks2, bi.reshape(-1), axis=0, mode="fill",
+                      fill_value=0.0)  # [cW, 81]
+        xg = jnp.take(x, ci.reshape(-1), axis=0, mode="fill",
+                      fill_value=0.0)  # [cW, 9]
+        # y_e[a] = sum_b Hb[e, a*9+b] xg[e, b] (VPU mult-sum; the
+        # einsum dot would route through the MXU at bf16 precision)
+        prod = jnp.sum(Hb.reshape(-1, P9_, P9_) * xg[:, None, :],
+                       axis=2)  # [cW, 9]
+        return jnp.sum(prod.reshape(chunk, W, P9_), axis=1)
+
+    nchunks = Rpad // chunk
+    if nchunks == 1:
+        rsum = chunk_sum((bidx, cidx))
+    else:
+        rsum = jax.lax.map(
+            chunk_sum,
+            (bidx.reshape(nchunks, chunk, W),
+             cidx.reshape(nchunks, chunk, W))).reshape(Rpad, P9_)
+    rsum = jnp.concatenate(
+        [rsum[:R], jnp.zeros((1, P9_), rsum.dtype)], axis=0)
+    y_off = jnp.sum(rsum[bsr.idx2], axis=1)  # [N, 9]
+    y_diag = jnp.sum(diag * x[:, None, :], axis=2)
+    return y_diag + y_off
+
+
 class _SelfPairView(NamedTuple):
     """Adapter presenting a CamCsrIndex as a pair index whose two sides
     are the same observation (for per-camera gram reductions through

@@ -290,6 +290,23 @@ def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, cam_flat, pairs,
         cam_strips=cam_strips)
 
 
+def flat_assemble_rcs_bsr(lin: FlatLin, stage2: FlatStage2, cam_flat,
+                          pairs, num_cameras, csr=None, buckets=None,
+                          cam_strips=None):
+    """Block-sparse form of flat_assemble_rcs (same H, no densify):
+    for camera counts whose dense [9G, 9G] system exceeds HBM but whose
+    unique-pair structure is sparse (final-13682: 60 GB dense vs 116 MB
+    of blocks). Returns (blocks2 [2P,81], diag [N,9,9])."""
+    from rootba_tpu.solver.linearization import assemble_rcs_bsr
+
+    W = jnp.sum(stage2.Q1h[:, :, :, None] * lin.Jp[:, :, None, :],
+                axis=1)
+    return assemble_rcs_bsr(
+        W, W, [(lin.Jp, lin.Jp, 1.0), (W, W, -1.0)], cam_flat, csr,
+        pairs, stage2.lam, num_cameras, buckets=buckets,
+        cam_strips=cam_strips)
+
+
 def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,
                 num_cameras, x, csr=None):
     """y = [(Q2'Jp)'(Q2'Jp) + lam I] x (right_multiply,
@@ -368,15 +385,26 @@ class FlatSqrtLinearizer(LinearizerBase):
         cam_flat = jnp.concatenate(
             [b.cam_idx.reshape(-1) for b in self.buckets])
         # explicit-RCS CG: assemble H once per stage2 and run CG
-        # gather-free on the dense [9N,9N] matrix (see flat_assemble_rcs)
+        # gather-free -- dense [9G,9G] GEMV when the matrix fits HBM
+        # (flat_assemble_rcs), block-sparse gather-reduce above that
+        # camera count (flat_assemble_rcs_bsr; final-13682's dense
+        # system would be 60 GB)
         mode = opts.sqrt_rcs_mode
         if mode == "auto":
-            explicit = (self.mesh is None and not precond_jacobi
-                        and 0 < self.num_cameras
-                        <= opts.dense_rcs_max_cameras)
-        else:
-            explicit = mode == "dense"
+            if self.mesh is not None or precond_jacobi:
+                mode = "implicit"
+            elif 0 < self.num_cameras <= opts.dense_rcs_max_cameras:
+                mode = "dense"
+            else:
+                mode = "bsr"
+        explicit = mode == "dense"
+        bsr_mode = mode == "bsr"
+        if bsr_mode and self.mesh is not None:
+            raise ValueError("sqrt_rcs_mode='bsr' is single-device "
+                             "(the BSR gather crosses landmark shards);"
+                             " use 'implicit' under a mesh")
         self.explicit_rcs = explicit
+        self.bsr_rcs = bsr_mode
         N = self.num_cameras
         # whole-loop VMEM CG kernel: dense system [9Nc, 9Nc] must fit
         # on-chip next to its vectors/planes (~12 MB of 16 MB VMEM)
@@ -387,7 +415,8 @@ class FlatSqrtLinearizer(LinearizerBase):
                       and (vmem_ok or opts.pallas_cg == "on"))
         self.pallas_cg = use_pallas
         pairs = None
-        if explicit:
+        bsr = None
+        if explicit or bsr_mode:
             grid = Nc if use_pallas else None
             if opts.pair_gather == "strips":
                 from rootba_tpu.bal.bucketing import build_pair_strips
@@ -395,28 +424,40 @@ class FlatSqrtLinearizer(LinearizerBase):
                     PairStripsIndex,
                 )
 
-                pairs = PairStripsIndex.from_host(build_pair_strips(
-                    self.bp.buckets, N, grid_n=grid))
+                pairs_host = build_pair_strips(
+                    self.bp.buckets, N, grid_n=grid,
+                    dense_grid=explicit)
+                pairs = PairStripsIndex.from_host(pairs_host)
             else:
                 from rootba_tpu.bal.bucketing import build_pair_csr
                 from rootba_tpu.solver.linearization import (
                     PairCsrIndex,
                 )
 
-                pairs = PairCsrIndex.from_host(build_pair_csr(
-                    self.bp.buckets, N, grid_n=grid))
+                pairs_host = build_pair_csr(
+                    self.bp.buckets, N, grid_n=grid,
+                    dense_grid=explicit)
+                pairs = PairCsrIndex.from_host(pairs_host)
+            if bsr_mode:
+                from rootba_tpu.bal.bucketing import build_bsr_matvec
+                from rootba_tpu.solver.linearization import (
+                    BsrMatvecIndex,
+                )
+
+                bsr = BsrMatvecIndex.from_host(build_bsr_matvec(
+                    pairs_host.pair_row, pairs_host.pair_col, N))
         # camera-strip reduce index (same small-table gather economics
         # as the pair strips; see bucketing.CamStrips) for the RHS /
         # diagonal-block / diag2 per-camera reductions
         cstrips = None
-        if explicit and opts.pair_gather == "strips":
+        if (explicit or bsr_mode) and opts.pair_gather == "strips":
             from rootba_tpu.bal.bucketing import build_cam_strips
             from rootba_tpu.solver.linearization import CamStripsIndex
 
             cstrips = CamStripsIndex.from_host(
                 build_cam_strips(self.bp.buckets, N))
         self.consts = (self.buckets, self.cam_csr, cam_flat, pairs,
-                       cstrips)
+                       cstrips, bsr)
         use_valid = opts.use_projection_validity_check()
 
         def error_fn(consts, cams, lm_ps):
@@ -436,21 +477,28 @@ class FlatSqrtLinearizer(LinearizerBase):
                 opts.jacobi_scaling, csr, N, cam_strips=cstrips_)
 
         def stage2_fn(consts, lins, lam):
-            buckets, csr, cam_flat, pairs, cstrips_ = consts
-            if explicit:
-                # explicit dense RCS: assemble H = (Q2'Jp)'(Q2'Jp)+lam I
-                # once, then CG is pure GEMVs (no per-iteration
-                # gathers). SCHUR_JACOBI blocks are the diagonal of the
-                # assembled H (free); forced-JACOBI keeps stage2's own
-                # Jp'Jp block pass.
+            buckets, csr, cam_flat, pairs, cstrips_, bsr_ = consts
+            if explicit or bsr_mode:
+                # explicit RCS: assemble H = (Q2'Jp)'(Q2'Jp)+lam I once,
+                # then CG is gather-free GEMVs (dense) or block-sparse
+                # gather-reduces (bsr) -- no per-iteration O-sized
+                # gathers either way. SCHUR_JACOBI blocks are the
+                # diagonal of the assembled H (free); forced-JACOBI
+                # keeps stage2's own Jp'Jp block pass.
                 stage2 = flat_stage2(
                     lins, buckets, cam_flat, lam, N,
                     precond_jacobi=precond_jacobi, csr=csr,
                     with_precond=precond_jacobi, cam_strips=cstrips_)
-                Hd, diag = flat_assemble_rcs(lins, stage2, cam_flat,
-                                             pairs, N, csr=csr,
-                                             buckets=buckets,
-                                             cam_strips=cstrips_)
+                if bsr_mode:
+                    blocks2, diag = flat_assemble_rcs_bsr(
+                        lins, stage2, cam_flat, pairs, N, csr=csr,
+                        buckets=buckets, cam_strips=cstrips_)
+                    Hd = (blocks2, diag)
+                else:
+                    Hd, diag = flat_assemble_rcs(lins, stage2, cam_flat,
+                                                 pairs, N, csr=csr,
+                                                 buckets=buckets,
+                                                 cam_strips=cstrips_)
                 if not precond_jacobi:
                     chol = chol9(diag)
                     stage2 = stage2._replace(precond_chol=chol)
@@ -465,9 +513,16 @@ class FlatSqrtLinearizer(LinearizerBase):
             return stage2, None
 
         def lsolve_fn(consts, lins, aux):
-            buckets, csr, cam_flat, pairs, cstrips_ = consts
+            buckets, csr, cam_flat, pairs, cstrips_, bsr_ = consts
             stage2, Hd = aux
-            if explicit:
+            if bsr_mode:
+                from rootba_tpu.solver.linearization import bsr_matvec
+
+                blocks2, diag = Hd
+
+                def matvec(x):
+                    return bsr_matvec(blocks2, diag, bsr_, x)
+            elif explicit:
                 def matvec(x):
                     from rootba_tpu.solver.explicit_sc import (
                         sc_matvec_dense,

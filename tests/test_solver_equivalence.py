@@ -452,3 +452,53 @@ def test_sqrt_explicit_vs_implicit_rcs(synthetic_problem, dtype):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
             err_msg=f"component {i} (explicit vs implicit rcs)")
+
+
+def test_sqrt_bsr_vs_dense_rcs(synthetic_problem, dtype):
+    """The block-sparse RCS (assemble_rcs_bsr + bsr_matvec CSR
+    gather-reduce; the any-camera-count mode, final-13682's dense
+    system would be 60 GB) solves to the same increment as the dense
+    GEMV mode."""
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pallas_cg="off")
+    got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="bsr")
+    rtol = 2e-4 if dtype.itemsize == 4 else 1e-9
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (sqrt bsr vs dense rcs)")
+
+
+def test_sc_bsr_vs_dense_rcs(synthetic_problem, dtype):
+    """SCHUR_COMPLEMENT: block-sparse assembly/matvec == dense mode
+    (dense_rcs_max_cameras=1 forces BSR on a single device)."""
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    common = dict(solver_type=SolverType.SCHUR_COMPLEMENT)
+    ref = _one_solve(bp, "einsum", 1, dtype.type,
+                     dense_rcs_max_cameras=2048, **common)
+    got = _one_solve(bp, "einsum", 1, dtype.type,
+                     dense_rcs_max_cameras=1, **common)
+    rtol = 2e-4 if dtype.itemsize == 4 else 1e-9
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (sc bsr vs dense rcs)")
+
+
+def test_poba_bsr_vs_dense_e0(synthetic_problem, dtype):
+    """POWER_SCHUR_COMPLEMENT: block-sparse E0 power series == dense-E0
+    series (dense_rcs_max_cameras=1 forces BSR on a single device)."""
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    common = dict(solver_type=SolverType.POWER_SCHUR_COMPLEMENT,
+                  preconditioner_type=(
+                      PreconditionerType.POWER_SCHUR_COMPLEMENT))
+    ref = _one_solve(bp, "einsum", 1, dtype.type,
+                     dense_rcs_max_cameras=2048, **common)
+    got = _one_solve(bp, "einsum", 1, dtype.type,
+                     dense_rcs_max_cameras=1, **common)
+    rtol = 2e-4 if dtype.itemsize == 4 else 1e-9
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (poba bsr vs dense e0)")
