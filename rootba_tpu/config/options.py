@@ -280,6 +280,16 @@ class SolverOptions:
                      "of blocks); 'auto' picks dense on a single device "
                      "when num_cameras <= dense_rcs_max_cameras, bsr "
                      "above, implicit under a mesh or forced-JACOBI")
+    strip_min_group: int = opt(
+        16384, help="strips pair/camera gather: within-landmark "
+                    "patterns with fewer slots than this route through "
+                    "the per-observation leftover stream instead of "
+                    "their own strip group (each group is a separate "
+                    "program section). At venice scale the leftover "
+                    "stream's big-table gathers dominate stage2 "
+                    "(~150 ms/solve, benchmarks/profile_solve.py); "
+                    "lower values trade per-group overhead for "
+                    "fast-regime gathers")
     compensated_accumulation: bool = opt(
         True, help="f32 mode: accumulate the CG dot products and the "
                    "model-cost decrease l_diff with error-free "

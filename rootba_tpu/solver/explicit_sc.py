@@ -419,7 +419,8 @@ def sc_back_substitute(lins, buckets, Hll_invs, lm_ps, pose_inc,
 from rootba_tpu.solver.lm import BAState, LinearizerBase  # noqa: E402
 
 
-def _build_pair_index(bp, num_cameras, pair_gather, dense_grid=True):
+def _build_pair_index(bp, num_cameras, pair_gather, dense_grid=True,
+                      min_group=16384):
     """Strict-pair index for the explicit-RCS paths, in the configured
     gather formulation (see SolverOptions.pair_gather). Returns
     (device_index, host_index); dense_grid=False skips the [G*G] block
@@ -429,7 +430,8 @@ def _build_pair_index(bp, num_cameras, pair_gather, dense_grid=True):
         from rootba_tpu.solver.linearization import PairStripsIndex
 
         host = build_pair_strips(bp.buckets, num_cameras,
-                                 dense_grid=dense_grid)
+                                 dense_grid=dense_grid,
+                                 min_group=min_group)
         return PairStripsIndex.from_host(host), host
     from rootba_tpu.bal.bucketing import build_pair_csr
     from rootba_tpu.solver.linearization import PairCsrIndex
@@ -467,7 +469,8 @@ class SCLinearizer(LinearizerBase):
             self.pairs = None
             self.pair_csr, pairs_host = _build_pair_index(
                 self.bp, self.num_cameras, opts.pair_gather,
-                dense_grid=self.dense_rcs)
+                dense_grid=self.dense_rcs,
+                min_group=opts.strip_min_group)
             if self.bsr_rcs:
                 from rootba_tpu.bal.bucketing import build_bsr_matvec
                 from rootba_tpu.solver.linearization import (
@@ -483,8 +486,9 @@ class SCLinearizer(LinearizerBase):
                     CamStripsIndex,
                 )
 
-                cstrips = CamStripsIndex.from_host(
-                    build_cam_strips(self.bp.buckets, self.num_cameras))
+                cstrips = CamStripsIndex.from_host(build_cam_strips(
+                    self.bp.buckets, self.num_cameras,
+                    min_group=opts.strip_min_group))
         else:
             self.pairs = build_pair_structure(self.bp, self.num_cameras)
         cam_flat = jnp.concatenate(
@@ -725,7 +729,8 @@ class PowerSCLinearizer(SCLinearizer):
         if self.dense_rcs or self.bsr_rcs:
             self.pair_csr, pairs_host = _build_pair_index(
                 self.bp, self.num_cameras, opts.pair_gather,
-                dense_grid=self.dense_rcs)
+                dense_grid=self.dense_rcs,
+                min_group=opts.strip_min_group)
             if self.bsr_rcs:
                 from rootba_tpu.bal.bucketing import build_bsr_matvec
                 from rootba_tpu.solver.linearization import (
@@ -741,8 +746,9 @@ class PowerSCLinearizer(SCLinearizer):
                     CamStripsIndex,
                 )
 
-                cstrips = CamStripsIndex.from_host(
-                    build_cam_strips(self.bp.buckets, self.num_cameras))
+                cstrips = CamStripsIndex.from_host(build_cam_strips(
+                    self.bp.buckets, self.num_cameras,
+                    min_group=opts.strip_min_group))
         cam_flat = jnp.concatenate(
             [b.cam_idx.reshape(-1) for b in self.buckets])
         self.consts = (self.buckets, self.cam_csr, self.pair_csr,

@@ -426,7 +426,8 @@ class FlatSqrtLinearizer(LinearizerBase):
 
                 pairs_host = build_pair_strips(
                     self.bp.buckets, N, grid_n=grid,
-                    dense_grid=explicit)
+                    dense_grid=explicit,
+                    min_group=opts.strip_min_group)
                 pairs = PairStripsIndex.from_host(pairs_host)
             else:
                 from rootba_tpu.bal.bucketing import build_pair_csr
@@ -454,8 +455,9 @@ class FlatSqrtLinearizer(LinearizerBase):
             from rootba_tpu.bal.bucketing import build_cam_strips
             from rootba_tpu.solver.linearization import CamStripsIndex
 
-            cstrips = CamStripsIndex.from_host(
-                build_cam_strips(self.bp.buckets, N))
+            cstrips = CamStripsIndex.from_host(build_cam_strips(
+                self.bp.buckets, N,
+                min_group=opts.strip_min_group))
         self.consts = (self.buckets, self.cam_csr, cam_flat, pairs,
                        cstrips, bsr)
         use_valid = opts.use_projection_validity_check()

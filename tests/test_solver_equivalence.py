@@ -502,3 +502,19 @@ def test_poba_bsr_vs_dense_e0(synthetic_problem, dtype):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
             err_msg=f"component {i} (poba bsr vs dense e0)")
+
+
+def test_strip_min_group_option(synthetic_problem, dtype):
+    """strip_min_group only re-routes slots between the strip groups
+    and the per-obs leftover stream -- results are identical (it is a
+    performance knob, benchmarks/profile_solve.py venice)."""
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pallas_cg="off")
+    got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pallas_cg="off", strip_min_group=0)
+    rtol = 1e-4 if dtype.itemsize == 4 else 1e-10
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (strip_min_group=0)")
