@@ -247,10 +247,16 @@ class SolverOptions:
         0, help="write the checkpoint every this many LM iterations "
                 "(0 = only resume, never write)")
     dense_rcs_max_cameras: int = opt(
-        2048, help="SCHUR_COMPLEMENT solver: materialize the RCS as one "
-                   "dense [9N, 9N] matrix when num_cameras <= this (the "
-                   "PCG matvec becomes a single MXU GEMV instead of "
-                   "block-gather + scatter); 0 disables")
+        1024, help="explicit-RCS dense/block-sparse crossover: "
+                   "materialize the RCS as one dense [9N, 9N] matrix "
+                   "when num_cameras <= this (the PCG matvec is a "
+                   "single MXU GEMV); above it, assemble block-sparsely "
+                   "(unique camera pairs, CSR gather-reduce matvec). "
+                   "The GEMV reads the whole [9N,9N] matrix per CG "
+                   "iteration while BAL pair graphs go sparse with N "
+                   "(venice-1778: 1.2% fill, 1.04 GB dense vs ~14 MB "
+                   "of gathered blocks), so the crossover sits near "
+                   "1k cameras; 0 disables both explicit modes")
     pair_gather: str = opt(
         "strips", help="explicit-RCS pair-product gather formulation: "
                        "'strips' (default) gathers one landmark strip "
@@ -281,15 +287,16 @@ class SolverOptions:
                      "when num_cameras <= dense_rcs_max_cameras, bsr "
                      "above, implicit under a mesh or forced-JACOBI")
     strip_min_group: int = opt(
-        16384, help="strips pair/camera gather: within-landmark "
-                    "patterns with fewer slots than this route through "
-                    "the per-observation leftover stream instead of "
-                    "their own strip group (each group is a separate "
-                    "program section). At venice scale the leftover "
-                    "stream's big-table gathers dominate stage2 "
-                    "(~150 ms/solve, benchmarks/profile_solve.py); "
-                    "lower values trade per-group overhead for "
-                    "fast-regime gathers")
+        0, help="strips pair/camera gather: within-landmark patterns "
+                "with fewer slots than this route through a "
+                "per-observation leftover stream instead of their own "
+                "strip group. 0 (default) = no leftover stream; every "
+                "pattern is a strip group and all strip tables are "
+                "built per bucket, which avoids both the leftover "
+                "stream's slow big-table gathers (~150 ms/solve at "
+                "venice, benchmarks/profile_solve.py) and the flat "
+                "[O, F<128] row-major intermediates whose lane padding "
+                "OOMs HBM at final-13682 scale (17.2 GB for [29M, 9])")
     compensated_accumulation: bool = opt(
         True, help="f32 mode: accumulate the CG dot products and the "
                    "model-cost decrease l_diff with error-free "

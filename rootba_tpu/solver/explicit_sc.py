@@ -141,6 +141,8 @@ def sc_rhs_and_hll(lins, buckets, lam, num_cameras, cam_csr=None,
     )
 
     dtype = lins[0].Jp.dtype
+    strip_parts = (cam_strips is not None
+                   and cam_strips.wi_idx.shape[0] == 0)
     b = jnp.zeros((num_cameras, P9), dtype)
     b_parts = []
     Hll_invs = []
@@ -154,13 +156,20 @@ def sc_rhs_and_hll(lins, buckets, lam, num_cameras, cam_csr=None,
         hbl = jnp.einsum("lcd,ld->lc", Hll_inv, bl)
         rr = lin.r - jnp.einsum("lnrc,lc->lnr", lin.Jl, hbl)
         yb = jnp.einsum("lnrj,lnr->lnj", lin.Jp, rr)
-        if cam_strips is not None or cam_csr is not None:
+        if strip_parts:
+            # per-bucket [L, n*9] landmark-strip table (a flat [O, 9]
+            # row-major concat lane-pads 9 -> 128; see
+            # linearization.csr_pair_outer_strips)
+            b_parts.append(yb.reshape(L, n * P9))
+        elif cam_strips is not None or cam_csr is not None:
             b_parts.append(yb.reshape(-1, P9))
         else:
             b = b + jax.ops.segment_sum(
                 yb.reshape(-1, P9), bucket.cam_idx.reshape(-1),
                 num_segments=num_cameras)
-    if cam_strips is not None:
+    if strip_parts:
+        b = cam_reduce_strips(tuple(b_parts), buckets, cam_strips)
+    elif cam_strips is not None:
         b = cam_reduce_strips(jnp.concatenate(b_parts, axis=0), buckets,
                               cam_strips)
     elif cam_csr is not None:
@@ -208,6 +217,43 @@ def sc_assemble(lins, buckets, pairs: PairStructure, lam, num_cameras,
                     Hll_inv=tuple(Hll_invs), lam=jnp.asarray(lam, dtype))
 
 
+def _sc_strip_factors(lins, Hll_invs, pair_idx, cam_strips,
+                      with_jp=True):
+    """(HT, T, Jp) factors for the SC/E0 assemblies: flat [O, K, 9]
+    arrays, or per-bucket [L, n*K*9] landmark-strip tables when the
+    strips indices have no leftover stream (a flat [O, 27] row-major
+    concat lane-pads 27 -> 128 = 17.2 GB at final-13682; see
+    linearization.csr_pair_outer_strips)."""
+    from rootba_tpu.solver.linearization import PairStripsIndex
+
+    parts = (cam_strips is not None
+             and cam_strips.wi_idx.shape[0] == 0
+             and isinstance(pair_idx, PairStripsIndex)
+             and pair_idx.wi_idx.shape[0] == 0)
+    T_parts, HT_parts, Jp_parts = [], [], []
+    for lin, Hll_inv in zip(lins, Hll_invs):
+        L, n = lin.Jp.shape[0], lin.Jp.shape[1]
+        # T[l,n,c,j] = sum_r Jl[l,n,r,c] Jp[l,n,r,j] (VPU mult-sum;
+        # see csr_pair_outer on why not einsum-dots)
+        T = jnp.sum(lin.Jl[..., :, None] * lin.Jp[..., None, :], axis=2)
+        HT = jnp.sum(Hll_inv[:, None, :, :, None] * T[:, :, None, :, :],
+                     axis=3)  # [L,n,3,9]
+        if parts:
+            T_parts.append(T.reshape(L, n * 3 * P9))
+            HT_parts.append(HT.reshape(L, n * 3 * P9))
+            Jp_parts.append(lin.Jp.reshape(L, n * 2 * P9))
+        else:
+            T_parts.append(T.reshape(L * n, 3, P9))
+            HT_parts.append(HT.reshape(L * n, 3, P9))
+            Jp_parts.append(lin.Jp.reshape(L * n, 2, P9))
+    if parts:
+        return (tuple(HT_parts), tuple(T_parts),
+                tuple(Jp_parts) if with_jp else None)
+    return (jnp.concatenate(HT_parts, axis=0),
+            jnp.concatenate(T_parts, axis=0),
+            jnp.concatenate(Jp_parts, axis=0) if with_jp else None)
+
+
 def sc_assemble_dense(lins, buckets, pair_csr, cam_flat, cam_csr, lam,
                       num_cameras, cam_strips=None):
     """Dense-RCS SC assembly on the strict-pair CSR (see
@@ -218,27 +264,11 @@ def sc_assemble_dense(lins, buckets, pair_csr, cam_flat, cam_csr, lam,
 
     b, Hll_invs = sc_rhs_and_hll(lins, buckets, lam, num_cameras,
                                  cam_csr=cam_csr, cam_strips=cam_strips)
-
-    T_parts, HT_parts, Jp_parts = [], [], []
-    for lin, Hll_inv in zip(lins, Hll_invs):
-        L, n = lin.Jp.shape[0], lin.Jp.shape[1]
-        # T[l,n,c,j] = sum_r Jl[l,n,r,c] Jp[l,n,r,j] (VPU mult-sum;
-        # see csr_pair_outer on why not einsum-dots)
-        T = jnp.sum(lin.Jl[..., :, None] * lin.Jp[..., None, :], axis=2)
-        HT = jnp.sum(Hll_inv[:, None, :, :, None] * T[:, :, None, :, :],
-                     axis=3)  # [L,n,3,9]
-        T_parts.append(T.reshape(L * n, 3, P9))
-        HT_parts.append(HT.reshape(L * n, 3, P9))
-        Jp_parts.append(lin.Jp.reshape(L * n, 2, P9))
-
-    T_flat = jnp.concatenate(T_parts, axis=0)
-    HT_flat = jnp.concatenate(HT_parts, axis=0)
-    Jp_flat = jnp.concatenate(Jp_parts, axis=0)
+    HT, T, Jp = _sc_strip_factors(lins, Hll_invs, pair_csr, cam_strips)
     # diagonal: Jp_i'Jp_i - (Hll^-1 T)_i' T_i per camera, computed
     # inside the gather-reduce (no [O,81] materialization)
     Hd, diag = assemble_rcs_dense(
-        HT_flat, T_flat,
-        [(Jp_flat, Jp_flat, 1.0), (HT_flat, T_flat, -1.0)],
+        HT, T, [(Jp, Jp, 1.0), (HT, T, -1.0)],
         cam_flat, cam_csr, pair_csr, lam, num_cameras,
         buckets=buckets, cam_strips=cam_strips)
     return Hd, diag, b, Hll_invs
@@ -255,23 +285,9 @@ def sc_assemble_bsr(lins, buckets, pair_idx, cam_flat, cam_csr, lam,
 
     b, Hll_invs = sc_rhs_and_hll(lins, buckets, lam, num_cameras,
                                  cam_csr=cam_csr, cam_strips=cam_strips)
-
-    T_parts, HT_parts, Jp_parts = [], [], []
-    for lin, Hll_inv in zip(lins, Hll_invs):
-        L, n = lin.Jp.shape[0], lin.Jp.shape[1]
-        T = jnp.sum(lin.Jl[..., :, None] * lin.Jp[..., None, :], axis=2)
-        HT = jnp.sum(Hll_inv[:, None, :, :, None] * T[:, :, None, :, :],
-                     axis=3)  # [L,n,3,9]
-        T_parts.append(T.reshape(L * n, 3, P9))
-        HT_parts.append(HT.reshape(L * n, 3, P9))
-        Jp_parts.append(lin.Jp.reshape(L * n, 2, P9))
-
-    T_flat = jnp.concatenate(T_parts, axis=0)
-    HT_flat = jnp.concatenate(HT_parts, axis=0)
-    Jp_flat = jnp.concatenate(Jp_parts, axis=0)
+    HT, T, Jp = _sc_strip_factors(lins, Hll_invs, pair_idx, cam_strips)
     blocks2, diag = assemble_rcs_bsr(
-        HT_flat, T_flat,
-        [(Jp_flat, Jp_flat, 1.0), (HT_flat, T_flat, -1.0)],
+        HT, T, [(Jp, Jp, 1.0), (HT, T, -1.0)],
         cam_flat, cam_csr, pair_idx, lam, num_cameras,
         buckets=buckets, cam_strips=cam_strips)
     return blocks2, diag, b, Hll_invs
@@ -660,20 +676,12 @@ def e0_assemble_dense(lins, buckets, Hll_invs, pair_csr, cam_flat,
     a dense GEMV."""
     from rootba_tpu.solver.linearization import assemble_rcs_dense
 
-    T_parts, HT_parts = [], []
-    for lin, Hll_inv in zip(lins, Hll_invs):
-        L, n = lin.Jp.shape[0], lin.Jp.shape[1]
-        T = jnp.sum(lin.Jl[..., :, None] * lin.Jp[..., None, :], axis=2)
-        HT = jnp.sum(Hll_inv[:, None, :, :, None] * T[:, :, None, :, :],
-                     axis=3)
-        T_parts.append(T.reshape(L * n, 3, P9))
-        HT_parts.append(HT.reshape(L * n, 3, P9))
-    T_flat = jnp.concatenate(T_parts, axis=0)
-    HT_flat = jnp.concatenate(HT_parts, axis=0)
-    zero_lam = jnp.zeros((), T_flat.dtype)
+    HT, T, _ = _sc_strip_factors(lins, Hll_invs, pair_csr, cam_strips,
+                                 with_jp=False)
+    zero_lam = jnp.zeros((), lins[0].Jp.dtype)
     # assemble returns diag(terms) - pairs + 0*I = -E0; negate
     negE0, _ = assemble_rcs_dense(
-        HT_flat, T_flat, [(HT_flat, T_flat, -1.0)], cam_flat, cam_csr,
+        HT, T, [(HT, T, -1.0)], cam_flat, cam_csr,
         pair_csr, zero_lam, num_cameras, buckets=buckets,
         cam_strips=cam_strips)
     return -negE0
@@ -687,19 +695,11 @@ def e0_assemble_bsr(lins, buckets, Hll_invs, pair_idx, cam_flat,
     diag, bsr, v)."""
     from rootba_tpu.solver.linearization import assemble_rcs_bsr
 
-    T_parts, HT_parts = [], []
-    for lin, Hll_inv in zip(lins, Hll_invs):
-        L, n = lin.Jp.shape[0], lin.Jp.shape[1]
-        T = jnp.sum(lin.Jl[..., :, None] * lin.Jp[..., None, :], axis=2)
-        HT = jnp.sum(Hll_inv[:, None, :, :, None] * T[:, :, None, :, :],
-                     axis=3)
-        T_parts.append(T.reshape(L * n, 3, P9))
-        HT_parts.append(HT.reshape(L * n, 3, P9))
-    T_flat = jnp.concatenate(T_parts, axis=0)
-    HT_flat = jnp.concatenate(HT_parts, axis=0)
-    zero_lam = jnp.zeros((), T_flat.dtype)
+    HT, T, _ = _sc_strip_factors(lins, Hll_invs, pair_idx, cam_strips,
+                                 with_jp=False)
+    zero_lam = jnp.zeros((), lins[0].Jp.dtype)
     return assemble_rcs_bsr(
-        HT_flat, T_flat, [(HT_flat, T_flat, -1.0)], cam_flat, cam_csr,
+        HT, T, [(HT, T, -1.0)], cam_flat, cam_csr,
         pair_idx, zero_lam, num_cameras, buckets=buckets,
         cam_strips=cam_strips)
 

@@ -282,11 +282,24 @@ def csr_pair_outer_strips(strip_a, strip_b, buckets,
                         sum_k strip_a[first, k, a] strip_b[second, k, b]
 
     with `first` the observation on the pair's lower-id camera.
-    """
-    O, K, _ = strip_a.shape
+
+    strip_a/strip_b are flat [O, K, 9] arrays OR per-bucket tuples of
+    [L_b, n_b*K*9] landmark-strip tables. PREFER the tuple form at
+    scale: a flat narrow array that feeds the per-bucket table reshape
+    gets materialized row-major with its minor dim lane-padded to 128
+    (a [29M, 27] strip = 17.2 GB on final-13682, compile-time HBM OOM);
+    per-bucket tables built straight from per-bucket slices bound every
+    materialization to [L_b, n_b*K*9]. The tuple form has no per-obs
+    leftover stream (build the index with min_group=0)."""
+    parts_mode = isinstance(strip_a, (tuple, list))
     same = strip_a is strip_b
-    fa = strip_a.reshape(O, K * 9)
-    fb = fa if same else strip_b.reshape(O, K * 9)
+    if parts_mode:
+        K = strip_a[0].shape[1] // (9 * buckets[0].cam_idx.shape[1])
+        fa = fb = None
+    else:
+        O, K, _ = strip_a.shape
+        fa = strip_a.reshape(O, K * 9)
+        fb = fa if same else strip_b.reshape(O, K * 9)
 
     offs = [0]
     for b in buckets:
@@ -300,10 +313,14 @@ def csr_pair_outer_strips(strip_a, strip_b, buckets,
         L, n = buckets[bi].cam_idx.shape
         lm = strips.lm_idx[g]
         sw = strips.swap[g]
-        ta = jax.lax.slice_in_dim(fa, offs[bi], offs[bi + 1],
-                                  axis=0).reshape(L, n * K * 9)
-        tb = ta if same else jax.lax.slice_in_dim(
-            fb, offs[bi], offs[bi + 1], axis=0).reshape(L, n * K * 9)
+        if parts_mode:
+            ta = strip_a[bi]
+            tb = ta if same else strip_b[bi]
+        else:
+            ta = jax.lax.slice_in_dim(fa, offs[bi], offs[bi + 1],
+                                      axis=0).reshape(L, n * K * 9)
+            tb = ta if same else jax.lax.slice_in_dim(
+                fb, offs[bi], offs[bi + 1], axis=0).reshape(L, n * K * 9)
 
         # chunk big groups (bounds the [chunk, n*K*9] gather + the
         # [chunk, K, 81] product transients)
@@ -352,6 +369,10 @@ def csr_pair_outer_strips(strip_a, strip_b, buckets,
     # leftover per-observation stream (small patterns; see PairStrips)
     Rl, Wl = strips.wi_idx.shape
     if Rl:
+        if parts_mode:
+            raise ValueError(
+                "per-bucket strip tables require an index built with "
+                "min_group=0 (no per-obs leftover stream)")
         # both sides always differ here (two observations of one
         # landmark); fb is fa for symmetric strips
         si = jnp.take(fa, strips.wi_idx.reshape(-1), axis=0,
@@ -409,20 +430,27 @@ def _strip_run_rows(buckets, strips: CamStripsIndex, flat_tables,
     group's lm rows (chunked under lax.map), hand the slot's static
     column slice of every table to row_fn -> [rows, out_width] run
     sums; the leftover per-obs stream gathers flat rows directly.
-    Returns the [N, out_width] per-camera totals via idx2."""
+    Returns the [N, out_width] per-camera totals via idx2.
+
+    Each flat_tables entry is a flat [O, K] array OR a per-bucket tuple
+    of [L_b, n_b*K] tables (see csr_pair_outer_strips on why the tuple
+    form is required at final-13682 scale; tuple tables need a
+    min_group=0 index -- no leftover stream)."""
     offs = [0]
     for b in buckets:
         L, n = b.cam_idx.shape
         offs.append(offs[-1] + L * n)
 
+    parts_mode = any(isinstance(f, (tuple, list)) for f in flat_tables)
     rows_parts = []
     for g in range(len(strips.group_bucket)):
         bi = strips.group_bucket[g]
         i = strips.group_i[g]
         L, n = buckets[bi].cam_idx.shape
         lm = strips.lm_idx[g]
-        tabs = [jax.lax.slice_in_dim(f, offs[bi], offs[bi + 1],
-                                     axis=0).reshape(L, -1)
+        tabs = [f[bi] if isinstance(f, (tuple, list))
+                else jax.lax.slice_in_dim(f, offs[bi], offs[bi + 1],
+                                          axis=0).reshape(L, -1)
                 for f in flat_tables]
         Ks = [t.shape[1] // n for t in tabs]  # per-table slot width
 
@@ -457,6 +485,10 @@ def _strip_run_rows(buckets, strips: CamStripsIndex, flat_tables,
 
     Rl, Wl = strips.wi_idx.shape
     if Rl:
+        if parts_mode:
+            raise ValueError(
+                "per-bucket strip tables require an index built with "
+                "min_group=0 (no per-obs leftover stream)")
         slices = [jnp.take(f, strips.wi_idx.reshape(-1), axis=0,
                            mode="fill", fill_value=0.0)
                   for f in flat_tables]
@@ -471,12 +503,17 @@ def _strip_run_rows(buckets, strips: CamStripsIndex, flat_tables,
     return jnp.sum(rows[strips.idx2], axis=1)  # [N, out_width]
 
 
-def cam_reduce_strips(flat: jnp.ndarray, buckets,
+def cam_reduce_strips(flat, buckets,
                       strips: CamStripsIndex) -> jnp.ndarray:
     """Per-camera sum of per-obs-slot [O, F] contribution rows in the
     landmark-strip formulation (semantics of csr_cam_reduce; see
-    bucketing.CamStrips for why this gathers faster at scale)."""
-    F = flat.shape[1]
+    bucketing.CamStrips for why this gathers faster at scale). `flat`
+    is an [O, F] array or a per-bucket tuple of [L_b, n_b*F] tables
+    (see _strip_run_rows)."""
+    if isinstance(flat, (tuple, list)):
+        F = flat[0].shape[1] // buckets[0].cam_idx.shape[1]
+    else:
+        F = flat.shape[1]
     return _strip_run_rows(buckets, strips, [flat],
                            lambda s: s[0], F)
 
@@ -484,8 +521,10 @@ def cam_reduce_strips(flat: jnp.ndarray, buckets,
 def cam_gram_strips(terms, buckets, strips: CamStripsIndex) -> jnp.ndarray:
     """Per-camera gram blocks sum_obs sum_k A[o,k,a] B[o,k,b] as [N,81]
     rows, fused into the strip gather-reduce (no [O,81]
-    materialization). terms = [(A [O,K,9], B, sign)]; tables shared
+    materialization). terms = [(A [O,K,9], B, sign)] -- each side an
+    array or a per-bucket tuple of [L_b, n_b*K*9] tables; tables shared
     between terms/sides are gathered once."""
+    n0 = buckets[0].cam_idx.shape[1]
     tabs = []
     ids = {}
     term_ix = []
@@ -493,9 +532,11 @@ def cam_gram_strips(terms, buckets, strips: CamStripsIndex) -> jnp.ndarray:
         for M in (A, B):
             if id(M) not in ids:
                 ids[id(M)] = len(tabs)
-                tabs.append(M.reshape(M.shape[0], -1))
-        term_ix.append((ids[id(A)], ids[id(B)], sign,
-                        A.shape[1]))
+                tabs.append(M if isinstance(M, (tuple, list))
+                            else M.reshape(M.shape[0], -1))
+        K = (A[0].shape[1] // (9 * n0)
+             if isinstance(A, (tuple, list)) else A.shape[1])
+        term_ix.append((ids[id(A)], ids[id(B)], sign, K))
 
     def row_fn(slices):
         out = None
@@ -544,7 +585,8 @@ def assemble_rcs_bsr(strip_a, strip_b, diag_terms, cam_flat, csr,
         SCHUR_JACOBI preconditioner).
     """
     P9_ = POSE_SIZE
-    dtype = strip_a.dtype
+    dtype = (strip_a[0] if isinstance(strip_a, (tuple, list))
+             else strip_a).dtype
     N = num_cameras
     lam = lam.astype(dtype)
 
@@ -663,7 +705,8 @@ def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
     gather-free HBM/MXU GEMV CG iterations.
     """
     P9_ = POSE_SIZE
-    dtype = strip_a.dtype
+    dtype = (strip_a[0] if isinstance(strip_a, (tuple, list))
+             else strip_a).dtype
     N = num_cameras
     lam = lam.astype(dtype)
 

@@ -152,15 +152,27 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
     Jl = Jl * _per_landmark_broadcast(scales, buckets)[:, None, :]
 
     # pose jacobi scaling (add_Jp_diag2 -> linearizor_qr.cpp:104-110)
-    d2 = jnp.sum(Jp * Jp, axis=1)  # [O,9]
     if cam_strips is not None:
         from rootba_tpu.solver.linearization import cam_reduce_strips
 
-        diag2 = cam_reduce_strips(d2, buckets, cam_strips)
+        if cam_strips.wi_idx.shape[0] == 0:
+            # per-bucket [L, n*9] tables -- a flat [O, 9] row-major
+            # intermediate lane-pads 9 -> 128 (17.2 GB at final-13682;
+            # see csr_pair_outer_strips)
+            d2p = []
+            for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
+                L, n = bucket.cam_idx.shape
+                s = jax.lax.slice_in_dim(Jp, a, b_, axis=0)
+                d2p.append(jnp.sum(s * s, axis=1).reshape(L, n * P9))
+            diag2 = cam_reduce_strips(tuple(d2p), buckets, cam_strips)
+        else:
+            diag2 = cam_reduce_strips(jnp.sum(Jp * Jp, axis=1),
+                                      buckets, cam_strips)
     elif csr is not None:
-        diag2 = csr_cam_reduce([d2], csr, num_cameras)
+        diag2 = csr_cam_reduce([jnp.sum(Jp * Jp, axis=1)], csr,
+                               num_cameras)
     else:
-        diag2 = jax.ops.segment_sum(d2, cam_flat,
+        diag2 = jax.ops.segment_sum(jnp.sum(Jp * Jp, axis=1), cam_flat,
                                     num_segments=num_cameras)
     if jacobi_scaling:
         pose_scale = 1.0 / (jacobi_eps + jnp.sqrt(diag2))
@@ -207,14 +219,28 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
     t3 = _per_landmark_broadcast(
         _per_landmark_sum(p, buckets, offs), buckets)
     wp = lin.r - jnp.sum(Q1h * t3[:, None, :], axis=2)
-    yb = jnp.sum(lin.Jp * wp[:, :, None], axis=1)
     if cam_strips is not None:
         from rootba_tpu.solver.linearization import cam_reduce_strips
 
-        b = cam_reduce_strips(yb, buckets, cam_strips)
+        if cam_strips.wi_idx.shape[0] == 0:
+            # per-bucket [L, n*9] tables (no flat [O, 9] row-major
+            # intermediate; see flat_linearize diag2)
+            ybp = []
+            for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
+                L, n = bucket.cam_idx.shape
+                jp_b = jax.lax.slice_in_dim(lin.Jp, a, b_, axis=0)
+                wp_b = jax.lax.slice_in_dim(wp, a, b_, axis=0)
+                ybp.append(jnp.sum(jp_b * wp_b[:, :, None],
+                                   axis=1).reshape(L, n * P9))
+            b = cam_reduce_strips(tuple(ybp), buckets, cam_strips)
+        else:
+            yb = jnp.sum(lin.Jp * wp[:, :, None], axis=1)
+            b = cam_reduce_strips(yb, buckets, cam_strips)
     elif csr is not None:
+        yb = jnp.sum(lin.Jp * wp[:, :, None], axis=1)
         b = csr_cam_reduce([yb], csr, num_cameras)
     else:
+        yb = jnp.sum(lin.Jp * wp[:, :, None], axis=1)
         b = jax.ops.segment_sum(yb, cam_flat, num_segments=num_cameras)
 
     if not with_precond:
@@ -279,15 +305,11 @@ def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, cam_flat, pairs,
     """
     from rootba_tpu.solver.linearization import assemble_rcs_dense
 
-    # W[o,c,a] = sum_r Q1h[o,r,c] Jp[o,r,a]  -- [O,3,9]
-    W = jnp.sum(stage2.Q1h[:, :, :, None] * lin.Jp[:, :, None, :],
-                axis=1)
-    # per-camera diagonal contribution: Jp_i'Jp_i - W_i'W_i (computed
-    # inside the gather-reduce -- no [O,81] materialization)
+    Wa, Wb, terms = _rcs_factors(lin, stage2, buckets, pairs,
+                                 cam_strips)
     return assemble_rcs_dense(
-        W, W, [(lin.Jp, lin.Jp, 1.0), (W, W, -1.0)], cam_flat, csr,
-        pairs, stage2.lam, num_cameras, buckets=buckets,
-        cam_strips=cam_strips)
+        Wa, Wb, terms, cam_flat, csr, pairs, stage2.lam, num_cameras,
+        buckets=buckets, cam_strips=cam_strips)
 
 
 def flat_assemble_rcs_bsr(lin: FlatLin, stage2: FlatStage2, cam_flat,
@@ -299,12 +321,46 @@ def flat_assemble_rcs_bsr(lin: FlatLin, stage2: FlatStage2, cam_flat,
     of blocks). Returns (blocks2 [2P,81], diag [N,9,9])."""
     from rootba_tpu.solver.linearization import assemble_rcs_bsr
 
+    Wa, Wb, terms = _rcs_factors(lin, stage2, buckets, pairs,
+                                 cam_strips)
+    return assemble_rcs_bsr(
+        Wa, Wb, terms, cam_flat, csr, pairs, stage2.lam, num_cameras,
+        buckets=buckets, cam_strips=cam_strips)
+
+
+def _rcs_factors(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
+                 cam_strips):
+    """(strip_a, strip_b, diag_terms) for the sqrt RCS assembly:
+    W = Q1h'Jp pair factors plus the Jp'Jp - W'W diagonal terms.
+
+    With a leftover-free strips index, W and the Jp tables are built
+    per bucket as [L, n*27]/[L, n*18] landmark-strip tables straight
+    from per-bucket slices -- a flat [O, 27] row-major W lane-pads
+    27 -> 128 (17.2 GB at final-13682; see csr_pair_outer_strips)."""
+    from rootba_tpu.solver.linearization import PairStripsIndex
+
+    parts = (cam_strips is not None
+             and cam_strips.wi_idx.shape[0] == 0
+             and isinstance(pairs, PairStripsIndex)
+             and pairs.wi_idx.shape[0] == 0)
+    if parts:
+        offs = _bucket_offsets(buckets)
+        Wp, Jpp = [], []
+        for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
+            L, n = bucket.cam_idx.shape
+            q_b = jax.lax.slice_in_dim(stage2.Q1h, a, b_, axis=0)
+            jp_b = jax.lax.slice_in_dim(lin.Jp, a, b_, axis=0)
+            Wp.append(jnp.sum(q_b[:, :, :, None] * jp_b[:, :, None, :],
+                              axis=1).reshape(L, n * 3 * P9))
+            Jpp.append(jp_b.reshape(L, n * 2 * P9))
+        Wt, Jpt = tuple(Wp), tuple(Jpp)
+        return Wt, Wt, [(Jpt, Jpt, 1.0), (Wt, Wt, -1.0)]
+    # W[o,c,a] = sum_r Q1h[o,r,c] Jp[o,r,a]  -- [O,3,9]
     W = jnp.sum(stage2.Q1h[:, :, :, None] * lin.Jp[:, :, None, :],
                 axis=1)
-    return assemble_rcs_bsr(
-        W, W, [(lin.Jp, lin.Jp, 1.0), (W, W, -1.0)], cam_flat, csr,
-        pairs, stage2.lam, num_cameras, buckets=buckets,
-        cam_strips=cam_strips)
+    # per-camera diagonal contribution: Jp_i'Jp_i - W_i'W_i (computed
+    # inside the gather-reduce -- no [O,81] materialization)
+    return W, W, [(lin.Jp, lin.Jp, 1.0), (W, W, -1.0)]
 
 
 def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,

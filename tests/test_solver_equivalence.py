@@ -506,11 +506,12 @@ def test_poba_bsr_vs_dense_e0(synthetic_problem, dtype):
 
 def test_strip_min_group_option(synthetic_problem, dtype):
     """strip_min_group only re-routes slots between the strip groups
-    and the per-obs leftover stream -- results are identical (it is a
-    performance knob, benchmarks/profile_solve.py venice)."""
+    (per-bucket tables, default) and the per-obs leftover stream
+    (legacy flat tables) -- results are identical (it is a
+    performance/memory knob, see linearization.csr_pair_outer_strips)."""
     bp = bucketize(synthetic_problem, pow2_from=9)
     ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
-                     pallas_cg="off")
+                     pallas_cg="off", strip_min_group=16384)
     got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
                      pallas_cg="off", strip_min_group=0)
     rtol = 1e-4 if dtype.itemsize == 4 else 1e-10
