@@ -97,12 +97,19 @@ def bucketize(
     problem: BalProblem,
     pow2_from: int = 9,
     row_align: int = 8,
+    max_bucket_obs: int = 4_000_000,
 ) -> BucketedProblem:
     """Group landmarks into obs-count buckets with padded SoA tensors.
 
     row_align pads each bucket's landmark count to a multiple (keeps
     sharding/retiling friendly; padded landmark rows are fully masked).
-    """
+
+    max_bucket_obs splits an obs-count class into several buckets of at
+    most that many obs slots each (0 disables). Per-bucket fusion
+    outputs with narrow minor dims lane-pad to 128 on TPU, so a bucket
+    must be small enough that a [L*n, 9] row-major transient fits
+    comfortably: 4M slots = 2.1 GB padded (final-13682's n=8 class
+    alone holds 18.7M obs = a 9.6 GB transient unsplit)."""
     counts = problem.obs_per_landmark()
     if counts.min(initial=2) < 2:
         raise ValueError("landmarks must have >= 2 observations; "
@@ -124,8 +131,16 @@ def bucketize(
 
     buckets: List[Bucket] = []
     lm_p0: List[np.ndarray] = []
+    groups: List[Tuple[int, np.ndarray]] = []
     for n in sorted(set(sizes.tolist())):
-        lm_ids = np.nonzero(sizes == n)[0]
+        ids = np.nonzero(sizes == n)[0]
+        if max_bucket_obs and ids.size * n > max_bucket_obs:
+            per = max(max_bucket_obs // int(n), row_align)
+            for s in range(0, ids.size, per):
+                groups.append((n, ids[s:s + per]))
+        else:
+            groups.append((n, ids))
+    for n, lm_ids in groups:
         num_real = lm_ids.size
         L = -(-num_real // row_align) * row_align
         obs_uv = np.zeros((L, n, 2), dtype=np.float64)

@@ -178,7 +178,16 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
         pose_scale = 1.0 / (jacobi_eps + jnp.sqrt(diag2))
     else:
         pose_scale = jnp.ones_like(diag2)
-    Jp = Jp * pose_scale[cam_flat][:, None, :]
+    # apply the scale per bucket: one global pose_scale[cam_flat]
+    # gather materializes a [O, 9] row-major fusion output whose lane
+    # padding (9 -> 128) is 17.2 GB at final-13682 (the per-bucket
+    # gathers are bounded by max_bucket_obs)
+    jp_parts = []
+    for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
+        jp_b = jax.lax.slice_in_dim(Jp, a, b_, axis=0)
+        sb = jnp.take(pose_scale, bucket.cam_idx.reshape(-1), axis=0)
+        jp_parts.append(jp_b * sb[:, None, :])
+    Jp = jnp.concatenate(jp_parts, axis=0)
 
     return FlatLin(Jp=Jp, Jl=Jl, r=r, Jl_scale=scales), pose_scale, failures
 
@@ -215,33 +224,43 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
     Q1h = jax.lax.optimization_barrier(Q1h)
 
     # RHS: Jp^T (r - Q1h Q1h^T r)
-    p = jnp.sum(Q1h * lin.r[:, :, None], axis=1)
-    t3 = _per_landmark_broadcast(
-        _per_landmark_sum(p, buckets, offs), buckets)
-    wp = lin.r - jnp.sum(Q1h * t3[:, None, :], axis=2)
-    if cam_strips is not None:
+    if cam_strips is not None and cam_strips.wi_idx.shape[0] == 0:
         from rootba_tpu.solver.linearization import cam_reduce_strips
 
-        if cam_strips.wi_idx.shape[0] == 0:
-            # per-bucket [L, n*9] tables (no flat [O, 9] row-major
-            # intermediate; see flat_linearize diag2)
-            ybp = []
-            for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
-                L, n = bucket.cam_idx.shape
-                jp_b = jax.lax.slice_in_dim(lin.Jp, a, b_, axis=0)
-                wp_b = jax.lax.slice_in_dim(wp, a, b_, axis=0)
-                ybp.append(jnp.sum(jp_b * wp_b[:, :, None],
-                                   axis=1).reshape(L, n * P9))
-            b = cam_reduce_strips(tuple(ybp), buckets, cam_strips)
-        else:
-            yb = jnp.sum(lin.Jp * wp[:, :, None], axis=1)
-            b = cam_reduce_strips(yb, buckets, cam_strips)
-    elif csr is not None:
-        yb = jnp.sum(lin.Jp * wp[:, :, None], axis=1)
-        b = csr_cam_reduce([yb], csr, num_cameras)
+        # the whole chain per bucket as [L, n*9] tables: any flat
+        # [O, F<128] row-major intermediate (p, t3, wp, yb) lane-pads
+        # to 128 -- 17.2 GB at final-13682 (see flat_linearize diag2)
+        ybp = []
+        for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
+            L, n = bucket.cam_idx.shape
+            q_b = jax.lax.slice_in_dim(Q1h, a, b_, axis=0)
+            r_b = jax.lax.slice_in_dim(lin.r, a, b_, axis=0)
+            jp_b = jax.lax.slice_in_dim(lin.Jp, a, b_, axis=0)
+            p_b = jnp.sum(q_b * r_b[:, :, None], axis=1)  # [L*n,3]
+            t3_b = jnp.sum(p_b.reshape(L, n, 3), axis=1)  # [L,3]
+            t3e = jnp.broadcast_to(
+                t3_b[:, None, :], (L, n, 3)).reshape(L * n, 3)
+            wp_b = r_b - jnp.sum(q_b * t3e[:, None, :], axis=2)
+            ybp.append(jnp.sum(jp_b * wp_b[:, :, None],
+                               axis=1).reshape(L, n * P9))
+        b = cam_reduce_strips(tuple(ybp), buckets, cam_strips)
     else:
+        p = jnp.sum(Q1h * lin.r[:, :, None], axis=1)
+        t3 = _per_landmark_broadcast(
+            _per_landmark_sum(p, buckets, offs), buckets)
+        wp = lin.r - jnp.sum(Q1h * t3[:, None, :], axis=2)
         yb = jnp.sum(lin.Jp * wp[:, :, None], axis=1)
-        b = jax.ops.segment_sum(yb, cam_flat, num_segments=num_cameras)
+        if cam_strips is not None:
+            from rootba_tpu.solver.linearization import (
+                cam_reduce_strips,
+            )
+
+            b = cam_reduce_strips(yb, buckets, cam_strips)
+        elif csr is not None:
+            b = csr_cam_reduce([yb], csr, num_cameras)
+        else:
+            b = jax.ops.segment_sum(yb, cam_flat,
+                                    num_segments=num_cameras)
 
     if not with_precond:
         return FlatStage2(Q1h=Q1h, R=tuple(Rs), b=b,
@@ -389,33 +408,44 @@ def flat_back_substitute(lin: FlatLin, stage2: FlatStage2, buckets,
     (landmark_block_base.ipp:213-284).
 
     compensated=True accumulates l_diff with error-free transforms
-    (see ops.compensated; the sum cancels under f32 near convergence)."""
-    offs = _bucket_offsets(buckets)
-    xg = pose_inc[cam_flat]
-    w = jnp.sum(lin.Jp * xg[:, None, :], axis=2)
-    u = lin.r + w
-    p = jnp.sum(stage2.Q1h * u[:, :, None], axis=1)
-    rhs3 = _per_landmark_sum(p, buckets, offs)
+    (see ops.compensated; the sum cancels under f32 near convergence).
 
-    dls = []
+    Every per-obs intermediate is per-bucket: one global
+    pose_inc[cam_flat] gather materializes a [O, 9] row-major fusion
+    output (lane-padded to 17.2 GB at final-13682); the per-bucket
+    chain is bounded by max_bucket_obs."""
+    offs = _bucket_offsets(buckets)
+    acc_dtype = jnp.result_type(pose_inc.dtype, jnp.float32)
+
     new_lm_ps = []
-    for bucket, R, rhs, scale, lm_p in zip(
-            buckets, stage2.R, rhs3, lin.Jl_scale, lm_ps):
+    bucket_sums = []
+    for bucket, a, b_, R, scale, lm_p in zip(
+            buckets, offs[:-1], offs[1:], stage2.R, lin.Jl_scale,
+            lm_ps):
+        L, n = bucket.cam_idx.shape
+        jp_b = jax.lax.slice_in_dim(lin.Jp, a, b_, axis=0)
+        jl_b = jax.lax.slice_in_dim(lin.Jl, a, b_, axis=0)
+        r_b = jax.lax.slice_in_dim(lin.r, a, b_, axis=0)
+        q_b = jax.lax.slice_in_dim(stage2.Q1h, a, b_, axis=0)
+        xg = jnp.take(pose_inc, bucket.cam_idx.reshape(-1), axis=0)
+        w = jnp.sum(jp_b * xg[:, None, :], axis=2)  # [L*n,2]
+        u = r_b + w
+        p = jnp.sum(q_b * u[:, :, None], axis=1)  # [L*n,3]
+        rhs = jnp.sum(p.reshape(L, n, 3), axis=1)  # [L,3]
         dl_s = -solve_upper(R, rhs)
         dl_s = jnp.where(bucket.lm_mask[:, None], dl_s, 0.0)
-        dls.append(dl_s)
         new_lm_ps.append(lm_p + (dl_s * scale).astype(lm_p.dtype))
+        dl_e = jnp.broadcast_to(
+            dl_s[:, None, :], (L, n, 3)).reshape(L * n, 3)
+        v = w + jnp.sum(jl_b * dl_e[:, None, :], axis=2)
+        parts = (v * (0.5 * v + r_b)).astype(acc_dtype)
+        if compensated:
+            from rootba_tpu.ops.compensated import comp_sum
 
-    dl_flat = _per_landmark_broadcast(dls, buckets)
-    v = w + jnp.sum(lin.Jl * dl_flat[:, None, :], axis=2)
-    parts = (v * (0.5 * v + lin.r)).astype(
-        jnp.result_type(pose_inc.dtype, jnp.float32))
-    if compensated:
-        from rootba_tpu.ops.compensated import comp_sum
-
-        l_diff = -comp_sum(parts)
-    else:
-        l_diff = -jnp.sum(parts)
+            bucket_sums.append(comp_sum(parts))
+        else:
+            bucket_sums.append(jnp.sum(parts))
+    l_diff = -jnp.sum(jnp.stack(bucket_sums))
     return tuple(new_lm_ps), l_diff
 
 
