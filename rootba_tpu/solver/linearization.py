@@ -58,6 +58,33 @@ class CamCsrIndex(NamedTuple):
     idx2: jnp.ndarray  # [N, vmax] int32
 
 
+def _level2_reduce(rows: jnp.ndarray, idx2: jnp.ndarray) -> jnp.ndarray:
+    """Second-level run reduction shared by every gather-reduce here:
+    out[s] = sum_v rows[idx2[s, v]] (idx2 padded with the dump row).
+    Chunked over the segment axis under lax.map -- the [S, vmax, F]
+    gather is otherwise one fusion output (5.5 GB at final-13682,
+    where a popular camera pair spans vmax ~ 95 runs)."""
+    S, V = idx2.shape
+    F = rows.shape[1]
+    chunk = max(1, min(S, (16 << 20) // max(V * F * 4, 1)))
+    Spad = -(-S // chunk) * chunk
+    ix = idx2 if Spad == S else jnp.concatenate(
+        [idx2, jnp.full((Spad - S, V), rows.shape[0] - 1, jnp.int32)])
+
+    def chunk_sum(ic):
+        g = jnp.take(rows, ic.reshape(-1), axis=0, mode="fill",
+                     fill_value=0.0)
+        return jnp.sum(g.reshape(chunk, V, F), axis=1)
+
+    nchunks = Spad // chunk
+    if nchunks == 1:
+        out = chunk_sum(ix)
+    else:
+        out = jax.lax.map(
+            chunk_sum, ix.reshape(nchunks, chunk, V)).reshape(Spad, F)
+    return out[:S]
+
+
 def csr_cam_reduce(contribs, csr: CamCsrIndex,
                    num_cameras: int) -> jnp.ndarray:
     """Per-camera sum of per-obs-slot contribution rows WITHOUT a
@@ -95,7 +122,7 @@ def csr_cam_reduce(contribs, csr: CamCsrIndex,
             chunk_sum, idx.reshape(nchunks, chunk, W)).reshape(Rpad, F)
     rsum = jnp.concatenate(
         [rsum[:R], jnp.zeros((1, F), rsum.dtype)], axis=0)
-    return jnp.sum(rsum[csr.idx2], axis=1)  # [N, F]
+    return _level2_reduce(rsum, csr.idx2)  # [N, F]
 
 
 class PairCsrIndex(NamedTuple):
@@ -207,7 +234,7 @@ def csr_pair_outer(strip_a: jnp.ndarray, strip_b: jnp.ndarray,
              wj.reshape(nchunks, chunk, W))).reshape(Rpad, 81)
     rsum = jnp.concatenate(
         [rsum[:R], jnp.zeros((1, 81), rsum.dtype)], axis=0)
-    return jnp.sum(rsum[pairs.idx2], axis=1)  # [P, 81]
+    return _level2_reduce(rsum, pairs.idx2)  # [P, 81]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -389,7 +416,7 @@ def csr_pair_outer_strips(strip_a, strip_b, buckets,
             else jnp.concatenate(rows_parts, axis=0))
     rows = jnp.concatenate(
         [rows, jnp.zeros((1, 81), rows.dtype)], axis=0)
-    return jnp.sum(rows[strips.idx2], axis=1)  # [P, 81]
+    return _level2_reduce(rows, strips.idx2)  # [P, 81]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -500,7 +527,7 @@ def _strip_run_rows(buckets, strips: CamStripsIndex, flat_tables,
             else jnp.concatenate(rows_parts, axis=0))
     rows = jnp.concatenate(
         [rows, jnp.zeros((1, out_width), rows.dtype)], axis=0)
-    return jnp.sum(rows[strips.idx2], axis=1)  # [N, out_width]
+    return _level2_reduce(rows, strips.idx2)  # [N, out_width]
 
 
 def cam_reduce_strips(flat, buckets,
@@ -662,7 +689,7 @@ def bsr_matvec(blocks2: jnp.ndarray, diag: jnp.ndarray,
              cidx.reshape(nchunks, chunk, W))).reshape(Rpad, P9_)
     rsum = jnp.concatenate(
         [rsum[:R], jnp.zeros((1, P9_), rsum.dtype)], axis=0)
-    y_off = jnp.sum(rsum[bsr.idx2], axis=1)  # [N, 9]
+    y_off = _level2_reduce(rsum, bsr.idx2)  # [N, 9]
     y_diag = jnp.sum(diag * x[:, None, :], axis=2)
     return y_diag + y_off
 
