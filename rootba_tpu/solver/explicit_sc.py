@@ -233,16 +233,37 @@ def _sc_strip_factors(lins, Hll_invs, pair_idx, cam_strips,
     T_parts, HT_parts, Jp_parts = [], [], []
     for lin, Hll_inv in zip(lins, Hll_invs):
         L, n = lin.Jp.shape[0], lin.Jp.shape[1]
-        # T[l,n,c,j] = sum_r Jl[l,n,r,c] Jp[l,n,r,j] (VPU mult-sum;
-        # see csr_pair_outer on why not einsum-dots)
-        T = jnp.sum(lin.Jl[..., :, None] * lin.Jp[..., None, :], axis=2)
-        HT = jnp.sum(Hll_inv[:, None, :, :, None] * T[:, :, None, :, :],
-                     axis=3)  # [L,n,3,9]
         if parts:
-            T_parts.append(T.reshape(L, n * 3 * P9))
-            HT_parts.append(HT.reshape(L, n * 3 * P9))
+            # T and HT in flat [*, 27] form (col c*9+j): [*, 3, 9]
+            # intermediates get (4,128)-tile-padded 19x when XLA
+            # materializes them (see sqrt_flat._rcs_factors)
+            jl_f = lin.Jl.reshape(L * n, 2, 3)
+            jp_f = lin.Jp.reshape(L * n, 2, P9)
+            A = jnp.repeat(jl_f, P9, axis=2)  # [*,2,27]
+            B = jnp.tile(jp_f, (1, 1, 3))  # [*,2,27]
+            T27 = jnp.sum(A * B, axis=1)  # [*,27], col c*9+j
+            # HT[., d*9+j] = sum_c Hinv[l,d,c] T27[., c*9+j], c
+            # unrolled so no [*, 3, 9]-shaped reduce output exists
+            Hf = Hll_inv.reshape(L, 9)  # col d*3+c
+            HT27 = jnp.zeros_like(T27)
+            for c in range(3):
+                hc = Hf[:, c::3]  # [L,3] cols d
+                hce = jnp.broadcast_to(
+                    jnp.repeat(hc, P9, axis=1)[:, None, :],
+                    (L, n, 3 * P9)).reshape(L * n, 3 * P9)
+                tc = jnp.tile(T27[:, c * P9:(c + 1) * P9], (1, 3))
+                HT27 = HT27 + hce * tc
+            T_parts.append(T27.reshape(L, n * 3 * P9))
+            HT_parts.append(HT27.reshape(L, n * 3 * P9))
             Jp_parts.append(lin.Jp.reshape(L, n * 2 * P9))
         else:
+            # T[l,n,c,j] = sum_r Jl[l,n,r,c] Jp[l,n,r,j] (VPU
+            # mult-sum; see csr_pair_outer on why not einsum-dots)
+            T = jnp.sum(lin.Jl[..., :, None] * lin.Jp[..., None, :],
+                        axis=2)
+            HT = jnp.sum(
+                Hll_inv[:, None, :, :, None] * T[:, :, None, :, :],
+                axis=3)  # [L,n,3,9]
             T_parts.append(T.reshape(L * n, 3, P9))
             HT_parts.append(HT.reshape(L * n, 3, P9))
             Jp_parts.append(lin.Jp.reshape(L * n, 2, P9))

@@ -369,8 +369,12 @@ def _rcs_factors(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
             L, n = bucket.cam_idx.shape
             q_b = jax.lax.slice_in_dim(stage2.Q1h, a, b_, axis=0)
             jp_b = jax.lax.slice_in_dim(lin.Jp, a, b_, axis=0)
-            Wp.append(jnp.sum(q_b[:, :, :, None] * jp_b[:, :, None, :],
-                              axis=1).reshape(L, n * 3 * P9))
+            # W in flat [*, 27] form (col c*9+a): a [*, 3, 9]
+            # intermediate gets (4,128)-tile-padded 19x when XLA
+            # materializes it (7.6 GB at a 4M-obs bucket)
+            A = jnp.repeat(q_b, P9, axis=2)  # [*,2,27]
+            B = jnp.tile(jp_b, (1, 1, 3))  # [*,2,27]
+            Wp.append(jnp.sum(A * B, axis=1).reshape(L, n * 3 * P9))
             Jpp.append(jp_b.reshape(L, n * 2 * P9))
         Wt, Jpt = tuple(Wp), tuple(Jpp)
         return Wt, Wt, [(Jpt, Jpt, 1.0), (Wt, Wt, -1.0)]
