@@ -234,14 +234,16 @@ def _sc_strip_factors(lins, Hll_invs, pair_idx, cam_strips,
     for lin, Hll_inv in zip(lins, Hll_invs):
         L, n = lin.Jp.shape[0], lin.Jp.shape[1]
         if parts:
-            # T and HT in flat [*, 27] form (col c*9+j): [*, 3, 9]
-            # intermediates get (4,128)-tile-padded 19x when XLA
-            # materializes them (see sqrt_flat._rcs_factors)
+            # T and HT in flat [*, 27] form (col c*9+j), strictly 2-D:
+            # rank-3 [*, 3, 9] values (even re-ranked reduce outputs)
+            # get (4,128)-tile-padded 19x when materialized (see
+            # sqrt_flat._rcs_factors)
             jl_f = lin.Jl.reshape(L * n, 2, 3)
             jp_f = lin.Jp.reshape(L * n, 2, P9)
-            A = jnp.repeat(jl_f, P9, axis=2)  # [*,2,27]
-            B = jnp.tile(jp_f, (1, 1, 3))  # [*,2,27]
-            T27 = jnp.sum(A * B, axis=1)  # [*,27], col c*9+j
+            T27 = (jnp.repeat(jl_f[:, 0, :], P9, axis=1)
+                   * jnp.tile(jp_f[:, 0, :], (1, 3))
+                   + jnp.repeat(jl_f[:, 1, :], P9, axis=1)
+                   * jnp.tile(jp_f[:, 1, :], (1, 3)))  # col c*9+j
             # HT[., d*9+j] = sum_c Hinv[l,d,c] T27[., c*9+j], c
             # unrolled so no [*, 3, 9]-shaped reduce output exists
             Hf = Hll_inv.reshape(L, 9)  # col d*3+c

@@ -369,12 +369,15 @@ def _rcs_factors(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
             L, n = bucket.cam_idx.shape
             q_b = jax.lax.slice_in_dim(stage2.Q1h, a, b_, axis=0)
             jp_b = jax.lax.slice_in_dim(lin.Jp, a, b_, axis=0)
-            # W in flat [*, 27] form (col c*9+a): a [*, 3, 9]
-            # intermediate gets (4,128)-tile-padded 19x when XLA
-            # materializes it (7.6 GB at a 4M-obs bucket)
-            A = jnp.repeat(q_b, P9, axis=2)  # [*,2,27]
-            B = jnp.tile(jp_b, (1, 1, 3))  # [*,2,27]
-            Wp.append(jnp.sum(A * B, axis=1).reshape(L, n * 3 * P9))
+            # W in flat [*, 27] form (col c*9+a), as a strictly 2-D
+            # elementwise chain: any rank-3 [*, 3, 9] value (even a
+            # reduce output XLA re-ranks to) gets (4,128)-tile-padded
+            # 19x when materialized (7.6 GB at a 4M-obs bucket)
+            W27 = (jnp.repeat(q_b[:, 0, :], P9, axis=1)
+                   * jnp.tile(jp_b[:, 0, :], (1, 3))
+                   + jnp.repeat(q_b[:, 1, :], P9, axis=1)
+                   * jnp.tile(jp_b[:, 1, :], (1, 3)))
+            Wp.append(W27.reshape(L, n * 3 * P9))
             Jpp.append(jp_b.reshape(L, n * 2 * P9))
         Wt, Jpt = tuple(Wp), tuple(Jpp)
         return Wt, Wt, [(Jpt, Jpt, 1.0), (Wt, Wt, -1.0)]
