@@ -2,26 +2,25 @@
 
 Same projection-form sqrt marginalization as solver.sqrt_qr (see that
 module's docstring for the math and reference citations), but every
-per-observation tensor lives in ONE flat [O, ...] array concatenated
-across obs-count buckets:
+per-observation tensor is a per-bucket 2-D landmark-row table
 
-    Jp [O,2,9]   Jl [O,2,3]   r [O,2]   Q1h [O,2,3]
+    Jp [L, n*18]   Jl [L, n*6]   r [L, n*2]   Q1h [L, n*6]
 
-Why: the per-bucket formulation pays three materialized copies of the
-matvec's 9-wide contribution rows per CG iteration (einsum output ->
-reshape -> concat for the camera reduction), ~1.1 ms of pure data
-movement per matvec at trafalgar-257 scale (measured via the TPU
-profiler; benchmarks/micro_matvec3.py). Flat arrays make the einsum
-output itself the gather source. Per-landmark structure (the Q1h
-projection, QR, back-substitution) is recovered through reshape/
-broadcast of narrow [*,2]/[*,3] intermediates over static bucket
-offsets -- these fuse into their consumers and never materialize
-padded [L,n,2,9]-style buffers.
+(one landmark per row, slot-major columns; see FlatLin). Two TPU facts
+shape this layout:
 
-Camera reductions use the static camera-CSR gather-reduce
-(bucketing.CamCsr), camera-parameter reads one packed-table row gather
-(linearization.packed_cam_table): TPU scatters and per-element gathers
-cost 10-20x their traffic; wide-row static gathers are the fast path.
+1. The (8,128) tiling lane-pads the MINOR dim of any materialized
+   row-major array to 128. A monolithic flat [O, 9]-ish array is
+   unusable at scale (17-34 GB at final-13682's 33.6M obs slots, both
+   as a jit-boundary relayout copy and as a fusion output XLA re-ranks
+   a [*, 27] reduce into). Per-bucket [L, n*K] tables bound the
+   padding to 128/(n*K), and all per-obs math is written as strictly
+   2-D elementwise chains over static column slices.
+2. Scatters and per-element gathers cost 10-20x their traffic, so
+   camera/pair reductions are presorted static gather-reduces over
+   exactly these landmark-row tables (bucketing.CamStrips/PairStrips),
+   and camera-parameter reads are one packed-table row gather
+   (linearization.packed_cam_table).
 
 Reference mapping unchanged: stage1 = linearize+scale (linearizor_qr.cpp
 :78-138), stage2 = damp+RHS+precond (:141-265), matvec = right_multiply
@@ -55,18 +54,27 @@ P9 = POSE_SIZE
 
 
 class FlatLin(NamedTuple):
-    """Stage-1 output, flat across buckets."""
+    """Stage-1 output: per-bucket 2-D landmark-row tables.
 
-    Jp: jnp.ndarray  # [O,2,9] sqrt-weighted, masked, scaled
-    Jl: jnp.ndarray  # [O,2,3]
-    r: jnp.ndarray  # [O,2]
+    Every tensor is [L_b, n_b*K] with one landmark per row and slot-
+    major columns (slot i occupies cols i*K..(i+1)*K). Why not one
+    flat [O, 2, 9] array: a jit-boundary (or relayout-copied) array
+    with narrow minor dims gets its minor dim lane-padded to 128 by
+    the (8,128) TPU tiling -- 17-34 GB at final-13682's 33.6M obs
+    slots. Per-bucket [L, n*18] tables bound the padding to
+    128/(n*18) and are exactly the row shape every strip gather-reduce
+    consumes (see linearization.csr_pair_outer_strips)."""
+
+    Jp: Tuple[jnp.ndarray, ...]  # per bucket [L, n*18], col i*18+r*9+a
+    Jl: Tuple[jnp.ndarray, ...]  # per bucket [L, n*6], col i*6+r*3+c
+    r: Tuple[jnp.ndarray, ...]  # per bucket [L, n*2], col i*2+r
     Jl_scale: Tuple[jnp.ndarray, ...]  # per bucket [L,3]
 
 
 class FlatStage2(NamedTuple):
     """Per-lambda marginalization data."""
 
-    Q1h: jnp.ndarray  # [O,2,3]
+    Q1h: Tuple[jnp.ndarray, ...]  # per bucket [L, n*6], col i*6+r*3+c
     R: Tuple[jnp.ndarray, ...]  # per bucket [L,3,3]
     b: jnp.ndarray  # [N,9]
     precond_chol: jnp.ndarray  # [N,9,9]
@@ -81,39 +89,17 @@ def _bucket_offsets(buckets):
     return offs
 
 
-def _per_landmark_sum(p, buckets, offs):
-    """[O,F] obs rows -> per-bucket [L,F] sums over each landmark's
-    slots (reshape-fused reduce; obs o = l*n + i within a bucket)."""
-    outs = []
-    for bucket, a, b in zip(buckets, offs[:-1], offs[1:]):
-        L, n = bucket.cam_idx.shape
-        outs.append(jnp.sum(p[a:b].reshape(L, n, -1), axis=1))
-    return outs
-
-
-def _per_landmark_broadcast(ts, buckets):
-    """Inverse of _per_landmark_sum: per-bucket [L,F] -> flat [O,F]."""
-    outs = []
-    for bucket, t in zip(buckets, ts):
-        L, n = bucket.cam_idx.shape
-        outs.append(jnp.broadcast_to(
-            t[:, None, :], (L, n, t.shape[-1])).reshape(L * n, -1))
-    return jnp.concatenate(outs, axis=0)
-
-
 def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
                    huber_parameter, use_valid_only, jacobi_eps,
                    jacobi_scaling, csr, num_cameras, cam_strips=None):
     """Stage 1: linearize + scale_Jl_cols + jacobi pose scaling, all
     buckets in one pass (reference get_stage1 fusion,
-    linearization_qr.hpp:634-712)."""
+    linearization_qr.hpp:634-712). Everything stays 2-D per bucket
+    (see FlatLin on why)."""
     from rootba_tpu.ops.planar import robust_sqrt_weight, snavely_planes
 
-    offs = _bucket_offsets(buckets)
     table = packed_cam_table(cams)
-    planes18 = [[] for _ in range(18)]
-    planes6 = [[] for _ in range(6)]
-    rr = []
+    jp_us, jl_parts, r_parts, d2_parts, scales = [], [], [], [], []
     failures = jnp.zeros((), jnp.int32)
     for lm_p, bucket in zip(lm_ps, buckets):
         L, n = bucket.cam_idx.shape
@@ -132,64 +118,55 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
         for v in Jp_pl + Jl_pl:
             finite = finite & jnp.isfinite(v)
         failures = failures + jnp.sum(jnp.where(use_mask & ~finite, 1, 0))
-        for k in range(18):
-            planes18[k].append(sw * Jp_pl[k])
-        for k in range(6):
-            planes6[k].append(sw * Jl_pl[k])
-        rr.append(jnp.stack([sw * res_u, sw * res_v], axis=-1))
+        jp_f = jnp.stack([sw * p for p in Jp_pl], axis=-1)  # [L*n,18]
+        jl_f = jnp.stack([sw * p for p in Jl_pl], axis=-1)  # [L*n,6]
+        r_parts.append(jnp.stack([sw * res_u, sw * res_v],
+                                 axis=-1).reshape(L, n * 2))
 
-    O = offs[-1]
-    Jp = jnp.stack([jnp.concatenate(p) for p in planes18],
-                   axis=-1).reshape(O, 2, P9)
-    Jl = jnp.stack([jnp.concatenate(p) for p in planes6],
-                   axis=-1).reshape(O, 2, 3)
-    r = jnp.concatenate(rr, axis=0)  # [O,2]
+        # landmark-Jacobian column scaling
+        # (landmark_block_base.ipp:572-587): col2[c] over both rows
+        col2 = (jl_f[:, :3] * jl_f[:, :3]
+                + jl_f[:, 3:] * jl_f[:, 3:])  # [L*n,3]
+        nrm = jnp.sqrt(jnp.sum(col2.reshape(L, n, 3), axis=1))
+        scale = 1.0 / (jacobi_eps + nrm)  # [L,3]
+        scales.append(scale)
+        se = jnp.broadcast_to(scale[:, None, :],
+                              (L, n, 3)).reshape(L * n, 3)
+        jl_parts.append((jl_f * jnp.tile(se, (1, 2))).reshape(
+            L, n * 6))
 
-    # landmark-Jacobian column scaling (landmark_block_base.ipp:572-587)
-    col2 = jnp.sum(Jl * Jl, axis=1)  # [O,3]
-    norms = [jnp.sqrt(s) for s in _per_landmark_sum(col2, buckets, offs)]
-    scales = tuple(1.0 / (jacobi_eps + nrm) for nrm in norms)
-    Jl = Jl * _per_landmark_broadcast(scales, buckets)[:, None, :]
+        # pose diag^2 contribution [L, n*9]
+        jp2 = jp_f * jp_f
+        d2_parts.append(
+            (jp2[:, :P9] + jp2[:, P9:]).reshape(L, n * P9))
+        jp_us.append(jp_f)  # unscaled; pose scale applied below
 
     # pose jacobi scaling (add_Jp_diag2 -> linearizor_qr.cpp:104-110)
-    if cam_strips is not None:
+    if cam_strips is not None and cam_strips.wi_idx.shape[0] == 0:
         from rootba_tpu.solver.linearization import cam_reduce_strips
 
-        if cam_strips.wi_idx.shape[0] == 0:
-            # per-bucket [L, n*9] tables -- a flat [O, 9] row-major
-            # intermediate lane-pads 9 -> 128 (17.2 GB at final-13682;
-            # see csr_pair_outer_strips)
-            d2p = []
-            for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
-                L, n = bucket.cam_idx.shape
-                s = jax.lax.slice_in_dim(Jp, a, b_, axis=0)
-                d2p.append(jnp.sum(s * s, axis=1).reshape(L, n * P9))
-            diag2 = cam_reduce_strips(tuple(d2p), buckets, cam_strips)
-        else:
-            diag2 = cam_reduce_strips(jnp.sum(Jp * Jp, axis=1),
-                                      buckets, cam_strips)
+        diag2 = cam_reduce_strips(tuple(d2_parts), buckets, cam_strips)
     elif csr is not None:
-        diag2 = csr_cam_reduce([jnp.sum(Jp * Jp, axis=1)], csr,
-                               num_cameras)
+        diag2 = csr_cam_reduce(
+            [d.reshape(-1, P9) for d in d2_parts], csr, num_cameras)
     else:
-        diag2 = jax.ops.segment_sum(jnp.sum(Jp * Jp, axis=1), cam_flat,
-                                    num_segments=num_cameras)
+        diag2 = jax.ops.segment_sum(
+            jnp.concatenate([d.reshape(-1, P9) for d in d2_parts]),
+            cam_flat, num_segments=num_cameras)
     if jacobi_scaling:
         pose_scale = 1.0 / (jacobi_eps + jnp.sqrt(diag2))
     else:
         pose_scale = jnp.ones_like(diag2)
-    # apply the scale per bucket: one global pose_scale[cam_flat]
-    # gather materializes a [O, 9] row-major fusion output whose lane
-    # padding (9 -> 128) is 17.2 GB at final-13682 (the per-bucket
-    # gathers are bounded by max_bucket_obs)
     jp_parts = []
-    for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
-        jp_b = jax.lax.slice_in_dim(Jp, a, b_, axis=0)
+    for bucket, jp_f in zip(buckets, jp_us):
+        L, n = bucket.cam_idx.shape
         sb = jnp.take(pose_scale, bucket.cam_idx.reshape(-1), axis=0)
-        jp_parts.append(jp_b * sb[:, None, :])
-    Jp = jnp.concatenate(jp_parts, axis=0)
+        jp_parts.append((jp_f * jnp.tile(sb, (1, 2))).reshape(
+            L, n * 18))
 
-    return FlatLin(Jp=Jp, Jl=Jl, r=r, Jl_scale=scales), pose_scale, failures
+    return (FlatLin(Jp=tuple(jp_parts), Jl=tuple(jl_parts),
+                    r=tuple(r_parts), Jl_scale=tuple(scales)),
+            pose_scale, failures)
 
 
 def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
@@ -202,65 +179,59 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
     with_precond=False skips the per-obs Gram preconditioner pass; used
     by the explicit-RCS mode, whose diagonal blocks come for free from
     the assembled H (see flat_assemble_rcs)."""
-    dtype = lin.Jp.dtype
-    offs = _bucket_offsets(buckets)
+    dtype = lin.Jp[0].dtype
 
     Q1h_parts = []
     Rs = []
-    for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
+    for bucket, jl_b in zip(buckets, lin.Jl):
         L, n = bucket.cam_idx.shape
-        Jl2 = lin.Jl[a:b_].reshape(L, 2 * n, 3)
+        Jl2 = jl_b.reshape(L, 2 * n, 3)
         damp = jnp.sqrt(lam).astype(dtype) * jnp.broadcast_to(
             jnp.eye(3, dtype=dtype), (L, 3, 3))
         aug = jnp.concatenate([Jl2, damp], axis=1)
         R, Q1 = householder_qr3(aug)
         Rs.append(R)
-        Q1h_parts.append(Q1[:, :2 * n, :].reshape(L * n, 2, 3))
-    Q1h = jnp.concatenate(Q1h_parts, axis=0)  # [O,2,3]
-    # materialize Q1h once: it feeds several consumers (RHS projection,
-    # preconditioner Gram / RCS assembly, CG matvec) and XLA otherwise
-    # duplicates the whole QR into each fusion (~3x stage2 cost,
-    # benchmarks/rcs_assemble_bench.py)
-    Q1h = jax.lax.optimization_barrier(Q1h)
+        # materialize each bucket's Q1h once: it feeds several
+        # consumers (RHS projection, RCS assembly, CG matvec) and XLA
+        # otherwise duplicates the whole QR into each fusion (~3x
+        # stage2 cost, benchmarks/rcs_assemble_bench.py)
+        Q1h_parts.append(jax.lax.optimization_barrier(
+            Q1[:, :2 * n, :].reshape(L, n * 6)))
+    Q1h = tuple(Q1h_parts)
 
-    # RHS: Jp^T (r - Q1h Q1h^T r)
+    # RHS: Jp^T (r - Q1h Q1h^T r), all 2-D per bucket
+    ybp = []
+    for bucket, q_b, r_b, jp_b in zip(buckets, Q1h, lin.r, lin.Jp):
+        L, n = bucket.cam_idx.shape
+        qf = q_b.reshape(L * n, 6)
+        rf = r_b.reshape(L * n, 2)
+        jpf = jp_b.reshape(L * n, 18)
+        p3 = (qf[:, :3] * rf[:, 0:1] + qf[:, 3:] * rf[:, 1:2])
+        t3 = jnp.sum(p3.reshape(L, n, 3), axis=1)  # [L,3]
+        t3e = jnp.broadcast_to(t3[:, None, :],
+                               (L, n, 3)).reshape(L * n, 3)
+        wp0 = rf[:, 0] - jnp.sum(qf[:, :3] * t3e, axis=1)
+        wp1 = rf[:, 1] - jnp.sum(qf[:, 3:] * t3e, axis=1)
+        yb = (jpf[:, :P9] * wp0[:, None]
+              + jpf[:, P9:] * wp1[:, None])  # [L*n,9]
+        ybp.append(yb.reshape(L, n * P9))
     if cam_strips is not None and cam_strips.wi_idx.shape[0] == 0:
         from rootba_tpu.solver.linearization import cam_reduce_strips
 
-        # the whole chain per bucket as [L, n*9] tables: any flat
-        # [O, F<128] row-major intermediate (p, t3, wp, yb) lane-pads
-        # to 128 -- 17.2 GB at final-13682 (see flat_linearize diag2)
-        ybp = []
-        for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
-            L, n = bucket.cam_idx.shape
-            q_b = jax.lax.slice_in_dim(Q1h, a, b_, axis=0)
-            r_b = jax.lax.slice_in_dim(lin.r, a, b_, axis=0)
-            jp_b = jax.lax.slice_in_dim(lin.Jp, a, b_, axis=0)
-            p_b = jnp.sum(q_b * r_b[:, :, None], axis=1)  # [L*n,3]
-            t3_b = jnp.sum(p_b.reshape(L, n, 3), axis=1)  # [L,3]
-            t3e = jnp.broadcast_to(
-                t3_b[:, None, :], (L, n, 3)).reshape(L * n, 3)
-            wp_b = r_b - jnp.sum(q_b * t3e[:, None, :], axis=2)
-            ybp.append(jnp.sum(jp_b * wp_b[:, :, None],
-                               axis=1).reshape(L, n * P9))
         b = cam_reduce_strips(tuple(ybp), buckets, cam_strips)
-    else:
-        p = jnp.sum(Q1h * lin.r[:, :, None], axis=1)
-        t3 = _per_landmark_broadcast(
-            _per_landmark_sum(p, buckets, offs), buckets)
-        wp = lin.r - jnp.sum(Q1h * t3[:, None, :], axis=2)
-        yb = jnp.sum(lin.Jp * wp[:, :, None], axis=1)
-        if cam_strips is not None:
-            from rootba_tpu.solver.linearization import (
-                cam_reduce_strips,
-            )
+    elif cam_strips is not None:
+        from rootba_tpu.solver.linearization import cam_reduce_strips
 
-            b = cam_reduce_strips(yb, buckets, cam_strips)
-        elif csr is not None:
-            b = csr_cam_reduce([yb], csr, num_cameras)
-        else:
-            b = jax.ops.segment_sum(yb, cam_flat,
-                                    num_segments=num_cameras)
+        b = cam_reduce_strips(
+            jnp.concatenate([y.reshape(-1, P9) for y in ybp]),
+            buckets, cam_strips)
+    elif csr is not None:
+        b = csr_cam_reduce([y.reshape(-1, P9) for y in ybp], csr,
+                           num_cameras)
+    else:
+        b = jax.ops.segment_sum(
+            jnp.concatenate([y.reshape(-1, P9) for y in ybp]),
+            cam_flat, num_segments=num_cameras)
 
     if not with_precond:
         return FlatStage2(Q1h=Q1h, R=tuple(Rs), b=b,
@@ -270,24 +241,31 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
     # preconditioner blocks: JACOBI = sum Jp_o' Jp_o; SCHUR_JACOBI
     # subtracts W' W with W = Q1h_o' Jp_o (per obs; Jp's block structure
     # makes cross-obs terms vanish on the diagonal blocks). Flattened to
-    # [O, 81] before the camera reduction (9x9 minor dims would be
+    # [*, 81] before the camera reduction (9x9 minor dims would be
     # tile-padded ~25x if materialized).
-    O = offs[-1]
+    def gram81_2d(rows):  # list of [*, 9] row strips -> [*, 81]
+        out = None
+        for m in rows:
+            t = jnp.repeat(m, P9, axis=1) * jnp.tile(m, (1, P9))
+            out = t if out is None else out + t
+        return out
 
-    def gram81(M):  # [O, rows, 9] -> [O, 81]
-        A = jnp.repeat(M, P9, axis=2)
-        B = jnp.tile(M, (1, 1, P9))
-        return jnp.sum(A * B, axis=1)
-
-    blk = gram81(lin.Jp)
-    if not precond_jacobi:
-        A = jnp.repeat(Q1h, P9, axis=2)  # [O,2,27]
-        B = jnp.tile(lin.Jp, (1, 1, 3))  # [O,2,27]
-        W27 = jnp.sum(A * B, axis=1)  # [O,27]
-        blk = blk - gram81(W27.reshape(O, 3, P9))
-    blocks = jax.ops.segment_sum(
-        blk, cam_flat, num_segments=num_cameras
-    ).reshape(num_cameras, P9, P9)
+    blocks = jnp.zeros((num_cameras, P9 * P9), dtype)
+    for bucket, q_b, jp_b in zip(buckets, Q1h, lin.Jp):
+        L, n = bucket.cam_idx.shape
+        qf = q_b.reshape(L * n, 6)
+        jpf = jp_b.reshape(L * n, 18)
+        blk = gram81_2d([jpf[:, :P9], jpf[:, P9:]])
+        if not precond_jacobi:
+            W27 = (jnp.repeat(qf[:, :3], P9, axis=1)
+                   * jnp.tile(jpf[:, :P9], (1, 3))
+                   + jnp.repeat(qf[:, 3:], P9, axis=1)
+                   * jnp.tile(jpf[:, P9:], (1, 3)))
+            blk = blk - gram81_2d(
+                [W27[:, c * P9:(c + 1) * P9] for c in range(3)])
+        blocks = blocks + jax.ops.segment_sum(
+            blk, bucket.cam_idx.reshape(-1), num_segments=num_cameras)
+    blocks = blocks.reshape(num_cameras, P9, P9)
     blocks = blocks + lam.astype(dtype) * jnp.eye(P9, dtype=dtype)
     chol = chol9(blocks)
 
@@ -362,49 +340,57 @@ def _rcs_factors(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
              and cam_strips.wi_idx.shape[0] == 0
              and isinstance(pairs, PairStripsIndex)
              and pairs.wi_idx.shape[0] == 0)
+    Wp = []
+    for bucket, q_b, jp_b in zip(buckets, stage2.Q1h, lin.Jp):
+        L, n = bucket.cam_idx.shape
+        qf = q_b.reshape(L * n, 6)
+        jpf = jp_b.reshape(L * n, 18)
+        # W[o, c*9+a] = sum_r Q1h[o,r*3+c] Jp[o,r*9+a], as a strictly
+        # 2-D elementwise chain: any rank-3 [*, 3, 9] value (even a
+        # reduce output XLA re-ranks to) gets (4,128)-tile-padded 19x
+        # when materialized (7.6 GB at a 4M-obs bucket)
+        W27 = (jnp.repeat(qf[:, :3], P9, axis=1)
+               * jnp.tile(jpf[:, :P9], (1, 3))
+               + jnp.repeat(qf[:, 3:], P9, axis=1)
+               * jnp.tile(jpf[:, P9:], (1, 3)))
+        Wp.append(W27.reshape(L, n * 3 * P9))
     if parts:
-        offs = _bucket_offsets(buckets)
-        Wp, Jpp = [], []
-        for bucket, a, b_ in zip(buckets, offs[:-1], offs[1:]):
-            L, n = bucket.cam_idx.shape
-            q_b = jax.lax.slice_in_dim(stage2.Q1h, a, b_, axis=0)
-            jp_b = jax.lax.slice_in_dim(lin.Jp, a, b_, axis=0)
-            # W in flat [*, 27] form (col c*9+a), as a strictly 2-D
-            # elementwise chain: any rank-3 [*, 3, 9] value (even a
-            # reduce output XLA re-ranks to) gets (4,128)-tile-padded
-            # 19x when materialized (7.6 GB at a 4M-obs bucket)
-            W27 = (jnp.repeat(q_b[:, 0, :], P9, axis=1)
-                   * jnp.tile(jp_b[:, 0, :], (1, 3))
-                   + jnp.repeat(q_b[:, 1, :], P9, axis=1)
-                   * jnp.tile(jp_b[:, 1, :], (1, 3)))
-            Wp.append(W27.reshape(L, n * 3 * P9))
-            Jpp.append(jp_b.reshape(L, n * 2 * P9))
-        Wt, Jpt = tuple(Wp), tuple(Jpp)
-        return Wt, Wt, [(Jpt, Jpt, 1.0), (Wt, Wt, -1.0)]
-    # W[o,c,a] = sum_r Q1h[o,r,c] Jp[o,r,a]  -- [O,3,9]
-    W = jnp.sum(stage2.Q1h[:, :, :, None] * lin.Jp[:, :, None, :],
-                axis=1)
-    # per-camera diagonal contribution: Jp_i'Jp_i - W_i'W_i (computed
-    # inside the gather-reduce -- no [O,81] materialization)
-    return W, W, [(lin.Jp, lin.Jp, 1.0), (W, W, -1.0)]
+        Wt = tuple(Wp)
+        return Wt, Wt, [(lin.Jp, lin.Jp, 1.0), (Wt, Wt, -1.0)]
+    # flat [O, K, 9] form for the per-obs (PairCsr) index
+    W = jnp.concatenate(
+        [w.reshape(-1, 3, P9) for w in Wp], axis=0)
+    Jpf = jnp.concatenate(
+        [j.reshape(-1, 2, P9) for j in lin.Jp], axis=0)
+    return W, W, [(Jpf, Jpf, 1.0), (W, W, -1.0)]
 
 
 def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,
                 num_cameras, x, csr=None):
     """y = [(Q2'Jp)'(Q2'Jp) + lam I] x (right_multiply,
-    linearization_qr.hpp:823-825)."""
-    offs = _bucket_offsets(buckets)
-    xg = x[cam_flat]  # [O,9]
-    w = jnp.sum(lin.Jp * xg[:, None, :], axis=2)
-    p = jnp.sum(stage2.Q1h * w[:, :, None], axis=1)
-    t3 = _per_landmark_broadcast(
-        _per_landmark_sum(p, buckets, offs), buckets)
-    wp = w - jnp.sum(stage2.Q1h * t3[:, None, :], axis=2)
-    yb = jnp.sum(lin.Jp * wp[:, :, None], axis=1)
+    linearization_qr.hpp:823-825); per bucket, 2-D."""
+    ybp = []
+    for bucket, q_b, jp_b in zip(buckets, stage2.Q1h, lin.Jp):
+        L, n = bucket.cam_idx.shape
+        qf = q_b.reshape(L * n, 6)
+        jpf = jp_b.reshape(L * n, 18)
+        xg = jnp.take(x, bucket.cam_idx.reshape(-1), axis=0)
+        w0 = jnp.sum(jpf[:, :P9] * xg, axis=1)
+        w1 = jnp.sum(jpf[:, P9:] * xg, axis=1)
+        p3 = qf[:, :3] * w0[:, None] + qf[:, 3:] * w1[:, None]
+        t3 = jnp.sum(p3.reshape(L, n, 3), axis=1)
+        t3e = jnp.broadcast_to(t3[:, None, :],
+                               (L, n, 3)).reshape(L * n, 3)
+        wp0 = w0 - jnp.sum(qf[:, :3] * t3e, axis=1)
+        wp1 = w1 - jnp.sum(qf[:, 3:] * t3e, axis=1)
+        ybp.append(jpf[:, :P9] * wp0[:, None]
+                   + jpf[:, P9:] * wp1[:, None])
     if csr is not None:
-        red = csr_cam_reduce([yb], csr, num_cameras)
+        red = csr_cam_reduce(ybp, csr, num_cameras)
     else:
-        red = jax.ops.segment_sum(yb, cam_flat, num_segments=num_cameras)
+        red = jax.ops.segment_sum(
+            jnp.concatenate(ybp, axis=0), cam_flat,
+            num_segments=num_cameras)
     return stage2.lam.astype(x.dtype) * x + red
 
 
@@ -417,35 +403,38 @@ def flat_back_substitute(lin: FlatLin, stage2: FlatStage2, buckets,
     compensated=True accumulates l_diff with error-free transforms
     (see ops.compensated; the sum cancels under f32 near convergence).
 
-    Every per-obs intermediate is per-bucket: one global
+    Every per-obs intermediate is per-bucket and 2-D: one global
     pose_inc[cam_flat] gather materializes a [O, 9] row-major fusion
     output (lane-padded to 17.2 GB at final-13682); the per-bucket
     chain is bounded by max_bucket_obs."""
-    offs = _bucket_offsets(buckets)
     acc_dtype = jnp.result_type(pose_inc.dtype, jnp.float32)
 
     new_lm_ps = []
     bucket_sums = []
-    for bucket, a, b_, R, scale, lm_p in zip(
-            buckets, offs[:-1], offs[1:], stage2.R, lin.Jl_scale,
-            lm_ps):
+    for bucket, jp_b, jl_b, r_b, q_b, R, scale, lm_p in zip(
+            buckets, lin.Jp, lin.Jl, lin.r, stage2.Q1h, stage2.R,
+            lin.Jl_scale, lm_ps):
         L, n = bucket.cam_idx.shape
-        jp_b = jax.lax.slice_in_dim(lin.Jp, a, b_, axis=0)
-        jl_b = jax.lax.slice_in_dim(lin.Jl, a, b_, axis=0)
-        r_b = jax.lax.slice_in_dim(lin.r, a, b_, axis=0)
-        q_b = jax.lax.slice_in_dim(stage2.Q1h, a, b_, axis=0)
+        jpf = jp_b.reshape(L * n, 18)
+        jlf = jl_b.reshape(L * n, 6)
+        rf = r_b.reshape(L * n, 2)
+        qf = q_b.reshape(L * n, 6)
         xg = jnp.take(pose_inc, bucket.cam_idx.reshape(-1), axis=0)
-        w = jnp.sum(jp_b * xg[:, None, :], axis=2)  # [L*n,2]
-        u = r_b + w
-        p = jnp.sum(q_b * u[:, :, None], axis=1)  # [L*n,3]
-        rhs = jnp.sum(p.reshape(L, n, 3), axis=1)  # [L,3]
+        w0 = jnp.sum(jpf[:, :P9] * xg, axis=1)
+        w1 = jnp.sum(jpf[:, P9:] * xg, axis=1)
+        u0 = rf[:, 0] + w0
+        u1 = rf[:, 1] + w1
+        p3 = qf[:, :3] * u0[:, None] + qf[:, 3:] * u1[:, None]
+        rhs = jnp.sum(p3.reshape(L, n, 3), axis=1)  # [L,3]
         dl_s = -solve_upper(R, rhs)
         dl_s = jnp.where(bucket.lm_mask[:, None], dl_s, 0.0)
         new_lm_ps.append(lm_p + (dl_s * scale).astype(lm_p.dtype))
         dl_e = jnp.broadcast_to(
             dl_s[:, None, :], (L, n, 3)).reshape(L * n, 3)
-        v = w + jnp.sum(jl_b * dl_e[:, None, :], axis=2)
-        parts = (v * (0.5 * v + r_b)).astype(acc_dtype)
+        v0 = w0 + jnp.sum(jlf[:, :3] * dl_e, axis=1)
+        v1 = w1 + jnp.sum(jlf[:, 3:] * dl_e, axis=1)
+        parts = (v0 * (0.5 * v0 + rf[:, 0])
+                 + v1 * (0.5 * v1 + rf[:, 1])).astype(acc_dtype)
         if compensated:
             from rootba_tpu.ops.compensated import comp_sum
 
