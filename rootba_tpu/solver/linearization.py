@@ -597,7 +597,7 @@ class BsrMatvecIndex(NamedTuple):
 
 def assemble_rcs_bsr(strip_a, strip_b, diag_terms, cam_flat, csr,
                      pairs, lam, num_cameras, buckets=None,
-                     cam_strips=None):
+                     cam_strips=None, pose_scale=None):
     """Block-sparse RCS assembly: the same per-pair / per-camera
     gather-reduces as assemble_rcs_dense, WITHOUT the densify -- for
     problems whose dense [9G, 9G] system exceeds HBM (60 GB at
@@ -636,6 +636,16 @@ def assemble_rcs_bsr(strip_a, strip_b, diag_terms, cam_flat, csr,
             prod = jnp.sum(A[:, :, :, None] * B[:, :, None, :], axis=1)
             dcon = dcon + sign * prod.reshape(-1, P9_ * P9_)
         diag81 = jax.ops.segment_sum(dcon, cam_flat, num_segments=N)
+
+    if pose_scale is not None:
+        # deferred jacobi pose scale (see sqrt_flat.FlatLin):
+        # H_ij <- S_i H_u,ij S_j applied at the [P, 81]/[N, 81] level
+        Sp = jnp.take(pose_scale, pairs.pair_row, axis=0)
+        Sc = jnp.take(pose_scale, pairs.pair_col, axis=0)
+        Hup = Hup * (jnp.repeat(Sp, P9_, axis=1)
+                     * jnp.tile(Sc, (1, P9_)))
+        diag81 = diag81 * (jnp.repeat(pose_scale, P9_, axis=1)
+                           * jnp.tile(pose_scale, (1, P9_)))
 
     perm_t = jnp.asarray(
         np.arange(81).reshape(P9_, P9_).T.reshape(-1), jnp.int32)
@@ -712,7 +722,7 @@ class _SelfPairView(NamedTuple):
 
 def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
                        pairs, lam, num_cameras, buckets=None,
-                       cam_strips=None):
+                       cam_strips=None, pose_scale=None):
     """Dense [9N, 9N] reduced camera system from per-obs factors:
 
         H = sum over a camera's obs of (sum_terms sign * A_i' B_i)
@@ -756,6 +766,16 @@ def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
             prod = jnp.sum(A[:, :, :, None] * B[:, :, None, :], axis=1)
             dcon = dcon + sign * prod.reshape(-1, P9_ * P9_)
         diag81 = jax.ops.segment_sum(dcon, cam_flat, num_segments=N)
+
+    if pose_scale is not None:
+        # deferred jacobi pose scale (see sqrt_flat.FlatLin):
+        # H_ij <- S_i H_u,ij S_j applied at the [P, 81]/[N, 81] level
+        Sp = jnp.take(pose_scale, pairs.pair_row, axis=0)
+        Sc = jnp.take(pose_scale, pairs.pair_col, axis=0)
+        Hup = Hup * (jnp.repeat(Sp, P9_, axis=1)
+                     * jnp.tile(Sc, (1, P9_)))
+        diag81 = diag81 * (jnp.repeat(pose_scale, P9_, axis=1)
+                           * jnp.tile(pose_scale, (1, P9_)))
 
     # Everything below stays in 2-D [rows, 81] / [9N, 9N] shapes: any
     # materialized [..., 9, 9] tensor tile-pads (8,128) on the minor

@@ -63,12 +63,21 @@ class FlatLin(NamedTuple):
     the (8,128) TPU tiling -- 17-34 GB at final-13682's 33.6M obs
     slots. Per-bucket [L, n*18] tables bound the padding to
     128/(n*18) and are exactly the row shape every strip gather-reduce
-    consumes (see linearization.csr_pair_outer_strips)."""
+    consumes (see linearization.csr_pair_outer_strips).
+
+    Jp is stored UNSCALED; the jacobi pose scale S (pose_scale, [N,9])
+    is deferred to the per-camera/per-pair consumers: b = S b_u,
+    H_ij = S_i H_u,ij S_j, matvec y = lam x + S reduce(Jp_u' ...
+    Jp_u (S x)). Applying S per observation costs a [O, 9] gather +
+    multiply whose lane-padded materializations are GBs at final-13682
+    scale; deferred, it is a handful of [N, 9]/[P, 81] elementwise
+    passes."""
 
     Jp: Tuple[jnp.ndarray, ...]  # per bucket [L, n*18], col i*18+r*9+a
     Jl: Tuple[jnp.ndarray, ...]  # per bucket [L, n*6], col i*6+r*3+c
     r: Tuple[jnp.ndarray, ...]  # per bucket [L, n*2], col i*2+r
     Jl_scale: Tuple[jnp.ndarray, ...]  # per bucket [L,3]
+    pose_scale: jnp.ndarray  # [N,9] deferred jacobi pose scale
 
 
 class FlatStage2(NamedTuple):
@@ -157,15 +166,13 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
         pose_scale = 1.0 / (jacobi_eps + jnp.sqrt(diag2))
     else:
         pose_scale = jnp.ones_like(diag2)
-    jp_parts = []
-    for bucket, jp_f in zip(buckets, jp_us):
-        L, n = bucket.cam_idx.shape
-        sb = jnp.take(pose_scale, bucket.cam_idx.reshape(-1), axis=0)
-        jp_parts.append((jp_f * jnp.tile(sb, (1, 2))).reshape(
-            L, n * 18))
+    # Jp stays unscaled (see FlatLin: the scale is deferred)
+    jp_parts = [jp_f.reshape(b.cam_idx.shape[0], b.cam_idx.shape[1] * 18)
+                for b, jp_f in zip(buckets, jp_us)]
 
     return (FlatLin(Jp=tuple(jp_parts), Jl=tuple(jl_parts),
-                    r=tuple(r_parts), Jl_scale=tuple(scales)),
+                    r=tuple(r_parts), Jl_scale=tuple(scales),
+                    pose_scale=pose_scale),
             pose_scale, failures)
 
 
@@ -232,6 +239,7 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
         b = jax.ops.segment_sum(
             jnp.concatenate([y.reshape(-1, P9) for y in ybp]),
             cam_flat, num_segments=num_cameras)
+    b = b * lin.pose_scale  # deferred jacobi pose scale (see FlatLin)
 
     if not with_precond:
         return FlatStage2(Q1h=Q1h, R=tuple(Rs), b=b,
@@ -265,6 +273,10 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
                 [W27[:, c * P9:(c + 1) * P9] for c in range(3)])
         blocks = blocks + jax.ops.segment_sum(
             blk, bucket.cam_idx.reshape(-1), num_segments=num_cameras)
+    # deferred pose scale: both gram terms scale as S blk_u S
+    ps = lin.pose_scale
+    blocks = blocks * (jnp.repeat(ps, P9, axis=1)
+                       * jnp.tile(ps, (1, P9)))
     blocks = blocks.reshape(num_cameras, P9, P9)
     blocks = blocks + lam.astype(dtype) * jnp.eye(P9, dtype=dtype)
     chol = chol9(blocks)
@@ -306,7 +318,8 @@ def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, cam_flat, pairs,
                                  cam_strips)
     return assemble_rcs_dense(
         Wa, Wb, terms, cam_flat, csr, pairs, stage2.lam, num_cameras,
-        buckets=buckets, cam_strips=cam_strips)
+        buckets=buckets, cam_strips=cam_strips,
+        pose_scale=lin.pose_scale)
 
 
 def flat_assemble_rcs_bsr(lin: FlatLin, stage2: FlatStage2, cam_flat,
@@ -322,7 +335,8 @@ def flat_assemble_rcs_bsr(lin: FlatLin, stage2: FlatStage2, cam_flat,
                                  cam_strips)
     return assemble_rcs_bsr(
         Wa, Wb, terms, cam_flat, csr, pairs, stage2.lam, num_cameras,
-        buckets=buckets, cam_strips=cam_strips)
+        buckets=buckets, cam_strips=cam_strips,
+        pose_scale=lin.pose_scale)
 
 
 def _rcs_factors(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
@@ -368,13 +382,16 @@ def _rcs_factors(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
 def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,
                 num_cameras, x, csr=None):
     """y = [(Q2'Jp)'(Q2'Jp) + lam I] x (right_multiply,
-    linearization_qr.hpp:823-825); per bucket, 2-D."""
+    linearization_qr.hpp:823-825); per bucket, 2-D. Jp is unscaled:
+    y = lam x + S reduce(Jp_u' ... Jp_u (S x)) (deferred jacobi pose
+    scale, see FlatLin)."""
+    xs = x * lin.pose_scale
     ybp = []
     for bucket, q_b, jp_b in zip(buckets, stage2.Q1h, lin.Jp):
         L, n = bucket.cam_idx.shape
         qf = q_b.reshape(L * n, 6)
         jpf = jp_b.reshape(L * n, 18)
-        xg = jnp.take(x, bucket.cam_idx.reshape(-1), axis=0)
+        xg = jnp.take(xs, bucket.cam_idx.reshape(-1), axis=0)
         w0 = jnp.sum(jpf[:, :P9] * xg, axis=1)
         w1 = jnp.sum(jpf[:, P9:] * xg, axis=1)
         p3 = qf[:, :3] * w0[:, None] + qf[:, 3:] * w1[:, None]
@@ -391,7 +408,7 @@ def flat_matvec(lin: FlatLin, stage2: FlatStage2, buckets, cam_flat,
         red = jax.ops.segment_sum(
             jnp.concatenate(ybp, axis=0), cam_flat,
             num_segments=num_cameras)
-    return stage2.lam.astype(x.dtype) * x + red
+    return stage2.lam.astype(x.dtype) * x + lin.pose_scale * red
 
 
 def flat_back_substitute(lin: FlatLin, stage2: FlatStage2, buckets,
@@ -409,6 +426,8 @@ def flat_back_substitute(lin: FlatLin, stage2: FlatStage2, buckets,
     chain is bounded by max_bucket_obs."""
     acc_dtype = jnp.result_type(pose_inc.dtype, jnp.float32)
 
+    # deferred pose scale: w = (Jp_u S) inc = Jp_u (S inc)
+    inc_pre = pose_inc * lin.pose_scale
     new_lm_ps = []
     bucket_sums = []
     for bucket, jp_b, jl_b, r_b, q_b, R, scale, lm_p in zip(
@@ -419,7 +438,7 @@ def flat_back_substitute(lin: FlatLin, stage2: FlatStage2, buckets,
         jlf = jl_b.reshape(L * n, 6)
         rf = r_b.reshape(L * n, 2)
         qf = q_b.reshape(L * n, 6)
-        xg = jnp.take(pose_inc, bucket.cam_idx.reshape(-1), axis=0)
+        xg = jnp.take(inc_pre, bucket.cam_idx.reshape(-1), axis=0)
         w0 = jnp.sum(jpf[:, :P9] * xg, axis=1)
         w1 = jnp.sum(jpf[:, P9:] * xg, axis=1)
         u0 = rf[:, 0] + w0
