@@ -98,6 +98,36 @@ def _bucket_offsets(buckets):
     return offs
 
 
+# per-chunk obs-slot budget for _map_rows: transient narrow arrays
+# ([rows, <128]) lane-pad to 128, so a chunk costs up to
+# rows*128*4 B of transient HBM (~130 MB at this budget)
+_ROW_CHUNK_SLOTS = 262_144
+
+
+def _map_rows(f, tables, L, n, budget_slots=_ROW_CHUNK_SLOTS):
+    """Apply f(list of [Lc, *] tables) -> pytree of [Lc, *] outputs
+    over landmark-row chunks of a bucket's tables under lax.map.
+
+    Sequentializes the chain so only ONE chunk's transients are live:
+    XLA otherwise schedules many buckets' fusions concurrently and
+    their lane-padded narrow intermediates ([rows, 3/9] -> 128 lanes)
+    coexist -- 70 GB at final-13682 before chunking."""
+    budget_rows = max(8, (budget_slots // max(n, 1)) // 8 * 8)
+    if L <= budget_rows:
+        return f(tables)
+    C = -(-L // budget_rows)
+    Lpad = C * budget_rows
+    stacked = []
+    for t in tables:
+        if Lpad != L:
+            t = jnp.concatenate(
+                [t, jnp.zeros((Lpad - L,) + t.shape[1:], t.dtype)])
+        stacked.append(t.reshape((C, budget_rows) + t.shape[1:]))
+    out = jax.lax.map(lambda ts: f(list(ts)), tuple(stacked))
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((Lpad,) + o.shape[2:])[:L], out)
+
+
 def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
                    huber_parameter, use_valid_only, jacobi_eps,
                    jacobi_scaling, csr, num_cameras, cam_strips=None):
@@ -206,22 +236,28 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
             Q1[:, :2 * n, :].reshape(L, n * 6)))
     Q1h = tuple(Q1h_parts)
 
-    # RHS: Jp^T (r - Q1h Q1h^T r), all 2-D per bucket
+    # RHS: Jp^T (r - Q1h Q1h^T r), all 2-D per bucket, row-chunked
     ybp = []
     for bucket, q_b, r_b, jp_b in zip(buckets, Q1h, lin.r, lin.Jp):
         L, n = bucket.cam_idx.shape
-        qf = q_b.reshape(L * n, 6)
-        rf = r_b.reshape(L * n, 2)
-        jpf = jp_b.reshape(L * n, 18)
-        p3 = (qf[:, :3] * rf[:, 0:1] + qf[:, 3:] * rf[:, 1:2])
-        t3 = jnp.sum(p3.reshape(L, n, 3), axis=1)  # [L,3]
-        t3e = jnp.broadcast_to(t3[:, None, :],
-                               (L, n, 3)).reshape(L * n, 3)
-        wp0 = rf[:, 0] - jnp.sum(qf[:, :3] * t3e, axis=1)
-        wp1 = rf[:, 1] - jnp.sum(qf[:, 3:] * t3e, axis=1)
-        yb = (jpf[:, :P9] * wp0[:, None]
-              + jpf[:, P9:] * wp1[:, None])  # [L*n,9]
-        ybp.append(yb.reshape(L, n * P9))
+
+        def rhs_chunk(ts, n=n):
+            q_c, r_c, jp_c = ts
+            Lc = q_c.shape[0]
+            qf = q_c.reshape(Lc * n, 6)
+            rf = r_c.reshape(Lc * n, 2)
+            jpf = jp_c.reshape(Lc * n, 18)
+            p3 = (qf[:, :3] * rf[:, 0:1] + qf[:, 3:] * rf[:, 1:2])
+            t3 = jnp.sum(p3.reshape(Lc, n, 3), axis=1)  # [Lc,3]
+            t3e = jnp.broadcast_to(t3[:, None, :],
+                                   (Lc, n, 3)).reshape(Lc * n, 3)
+            wp0 = rf[:, 0] - jnp.sum(qf[:, :3] * t3e, axis=1)
+            wp1 = rf[:, 1] - jnp.sum(qf[:, 3:] * t3e, axis=1)
+            yb = (jpf[:, :P9] * wp0[:, None]
+                  + jpf[:, P9:] * wp1[:, None])  # [Lc*n,9]
+            return yb.reshape(Lc, n * P9)
+
+        ybp.append(_map_rows(rhs_chunk, [q_b, r_b, jp_b], L, n))
     if cam_strips is not None and cam_strips.wi_idx.shape[0] == 0:
         from rootba_tpu.solver.linearization import cam_reduce_strips
 
@@ -357,17 +393,23 @@ def _rcs_factors(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
     Wp = []
     for bucket, q_b, jp_b in zip(buckets, stage2.Q1h, lin.Jp):
         L, n = bucket.cam_idx.shape
-        qf = q_b.reshape(L * n, 6)
-        jpf = jp_b.reshape(L * n, 18)
+
         # W[o, c*9+a] = sum_r Q1h[o,r*3+c] Jp[o,r*9+a], as a strictly
-        # 2-D elementwise chain: any rank-3 [*, 3, 9] value (even a
-        # reduce output XLA re-ranks to) gets (4,128)-tile-padded 19x
-        # when materialized (7.6 GB at a 4M-obs bucket)
-        W27 = (jnp.repeat(qf[:, :3], P9, axis=1)
-               * jnp.tile(jpf[:, :P9], (1, 3))
-               + jnp.repeat(qf[:, 3:], P9, axis=1)
-               * jnp.tile(jpf[:, P9:], (1, 3)))
-        Wp.append(W27.reshape(L, n * 3 * P9))
+        # 2-D elementwise chain (rank-3 [*, 3, 9] values get
+        # (4,128)-tile-padded 19x when materialized), row-chunked
+        # under lax.map (see _map_rows)
+        def w_chunk(ts, n=n):
+            q_c, jp_c = ts
+            Lc = q_c.shape[0]
+            qf = q_c.reshape(Lc * n, 6)
+            jpf = jp_c.reshape(Lc * n, 18)
+            W27 = (jnp.repeat(qf[:, :3], P9, axis=1)
+                   * jnp.tile(jpf[:, :P9], (1, 3))
+                   + jnp.repeat(qf[:, 3:], P9, axis=1)
+                   * jnp.tile(jpf[:, P9:], (1, 3)))
+            return W27.reshape(Lc, n * 3 * P9)
+
+        Wp.append(_map_rows(w_chunk, [q_b, jp_b], L, n))
     if parts:
         Wt = tuple(Wp)
         return Wt, Wt, [(lin.Jp, lin.Jp, 1.0), (Wt, Wt, -1.0)]
@@ -434,32 +476,43 @@ def flat_back_substitute(lin: FlatLin, stage2: FlatStage2, buckets,
             buckets, lin.Jp, lin.Jl, lin.r, stage2.Q1h, stage2.R,
             lin.Jl_scale, lm_ps):
         L, n = bucket.cam_idx.shape
-        jpf = jp_b.reshape(L * n, 18)
-        jlf = jl_b.reshape(L * n, 6)
-        rf = r_b.reshape(L * n, 2)
-        qf = q_b.reshape(L * n, 6)
-        xg = jnp.take(inc_pre, bucket.cam_idx.reshape(-1), axis=0)
-        w0 = jnp.sum(jpf[:, :P9] * xg, axis=1)
-        w1 = jnp.sum(jpf[:, P9:] * xg, axis=1)
-        u0 = rf[:, 0] + w0
-        u1 = rf[:, 1] + w1
-        p3 = qf[:, :3] * u0[:, None] + qf[:, 3:] * u1[:, None]
-        rhs = jnp.sum(p3.reshape(L, n, 3), axis=1)  # [L,3]
-        dl_s = -solve_upper(R, rhs)
-        dl_s = jnp.where(bucket.lm_mask[:, None], dl_s, 0.0)
-        new_lm_ps.append(lm_p + (dl_s * scale).astype(lm_p.dtype))
-        dl_e = jnp.broadcast_to(
-            dl_s[:, None, :], (L, n, 3)).reshape(L * n, 3)
-        v0 = w0 + jnp.sum(jlf[:, :3] * dl_e, axis=1)
-        v1 = w1 + jnp.sum(jlf[:, 3:] * dl_e, axis=1)
-        parts = (v0 * (0.5 * v0 + rf[:, 0])
-                 + v1 * (0.5 * v1 + rf[:, 1])).astype(acc_dtype)
+
+        def bsub_chunk(ts, n=n):
+            jp_c, jl_c, r_c, q_c, cam_c, mask_c, R_c, sc_c, lm_c = ts
+            Lc = jp_c.shape[0]
+            jpf = jp_c.reshape(Lc * n, 18)
+            jlf = jl_c.reshape(Lc * n, 6)
+            rf = r_c.reshape(Lc * n, 2)
+            qf = q_c.reshape(Lc * n, 6)
+            xg = jnp.take(inc_pre, cam_c.reshape(-1), axis=0)
+            w0 = jnp.sum(jpf[:, :P9] * xg, axis=1)
+            w1 = jnp.sum(jpf[:, P9:] * xg, axis=1)
+            u0 = rf[:, 0] + w0
+            u1 = rf[:, 1] + w1
+            p3 = qf[:, :3] * u0[:, None] + qf[:, 3:] * u1[:, None]
+            rhs = jnp.sum(p3.reshape(Lc, n, 3), axis=1)  # [Lc,3]
+            dl_s = -solve_upper(R_c, rhs)
+            dl_s = jnp.where(mask_c[:, None], dl_s, 0.0)
+            new_lm = lm_c + (dl_s * sc_c).astype(lm_c.dtype)
+            dl_e = jnp.broadcast_to(
+                dl_s[:, None, :], (Lc, n, 3)).reshape(Lc * n, 3)
+            v0 = w0 + jnp.sum(jlf[:, :3] * dl_e, axis=1)
+            v1 = w1 + jnp.sum(jlf[:, 3:] * dl_e, axis=1)
+            parts = (v0 * (0.5 * v0 + rf[:, 0])
+                     + v1 * (0.5 * v1 + rf[:, 1])).astype(acc_dtype)
+            return new_lm, jnp.sum(parts.reshape(Lc, n), axis=1)
+
+        new_lm, lsum = _map_rows(
+            bsub_chunk,
+            [jp_b, jl_b, r_b, q_b, bucket.cam_idx, bucket.lm_mask,
+             R, scale, lm_p], L, n)
+        new_lm_ps.append(new_lm)
         if compensated:
             from rootba_tpu.ops.compensated import comp_sum
 
-            bucket_sums.append(comp_sum(parts))
+            bucket_sums.append(comp_sum(lsum))
         else:
-            bucket_sums.append(jnp.sum(parts))
+            bucket_sums.append(jnp.sum(lsum))
     l_diff = -jnp.sum(jnp.stack(bucket_sums))
     return tuple(new_lm_ps), l_diff
 
