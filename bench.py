@@ -109,6 +109,43 @@ def main():
     except Exception as e:  # keep the headline metric robust
         kernels = {"error": str(e).splitlines()[0][:200]}
 
+    # --- perf-regression gate (VERDICT r2 item 8): diff against the
+    # newest committed BENCH_r*.json so a refactor can never silently
+    # ship a slowdown again. >20% slower on any comparable metric =>
+    # loud stderr warning + a "regressions" field in the JSON line.
+    regressions = []
+    try:
+        import glob
+        import re as _re
+
+        prev_files = sorted(
+            glob.glob(os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "BENCH_r*.json")),
+            key=lambda f: int(_re.search(r"r(\d+)", f).group(1)))
+        if prev_files:
+            prev = json.load(open(prev_files[-1])).get("parsed", {})
+            checks = [("ladybug49_sqrt32_solve_time",
+                       prev.get("value"), elapsed)]
+            prev_suite = {(r["problem"], r["solver"]): r
+                          for r in prev.get("suite", [])}
+            for r in suite_rows:
+                pr = prev_suite.get((r["problem"], r["solver"]))
+                if pr and pr.get("steady_s_per_it"):
+                    checks.append(
+                        (f"{r['problem']}_steady_s_per_it",
+                         pr["steady_s_per_it"], r["steady_s_per_it"]))
+            for name, old, new in checks:
+                if old and new and new > 1.2 * old:
+                    regressions.append(
+                        {"metric": name, "was": old, "now": round(new, 4),
+                         "slowdown": round(new / old, 2)})
+                    print(f"PERF REGRESSION: {name} {old} -> "
+                          f"{new:.4f} ({new / old:.2f}x slower than "
+                          f"{os.path.basename(prev_files[-1])})",
+                          file=sys.stderr)
+    except Exception as e:
+        print(f"regression gate skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "ladybug49_sqrt32_solve_time",
         "value": round(elapsed, 4),
@@ -119,6 +156,7 @@ def main():
         "suite": suite_rows,
         "kernels": kernels,
         "recorded_runs": recorded,
+        "regressions": regressions,
     }))
 
 

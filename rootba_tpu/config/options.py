@@ -188,12 +188,12 @@ class SolverOptions:
     use_double: bool = opt(
         True, help="use float64 (CPU / emulated on TPU) instead of float32")
     use_householder_marginalization: bool = opt(
-        True, help="kept for config parity; the TPU sqrt solver always uses "
-                   "batched Householder-QR projection")
+        True, help="accepted but inert on TPU: the sqrt solver always "
+                   "uses batched Householder-QR projection")
     staged_execution: bool = opt(
-        True, help="kept for config parity; stages are always fused on TPU")
+        True, help="accepted but inert on TPU: stages are always fused")
     reduction_alg: int = opt(
-        1, help="kept for config parity; TPU always uses segment-sum")
+        1, help="accepted but inert on TPU: always segment-sum")
     power_order: int = opt(
         10, help="max inner iterations of Power SC preconditioner/solver")
     initial_vee: float = opt(2.0)
@@ -287,16 +287,26 @@ class SolverOptions:
                      "when num_cameras <= dense_rcs_max_cameras, bsr "
                      "above, implicit under a mesh or forced-JACOBI")
     strip_min_group: int = opt(
-        0, help="strips pair/camera gather: within-landmark patterns "
-                "with fewer slots than this route through a "
-                "per-observation leftover stream instead of their own "
-                "strip group. 0 (default) = no leftover stream; every "
-                "pattern is a strip group and all strip tables are "
-                "built per bucket, which avoids both the leftover "
-                "stream's slow big-table gathers (~150 ms/solve at "
-                "venice, benchmarks/profile_solve.py) and the flat "
-                "[O, F<128] row-major intermediates whose lane padding "
-                "OOMs HBM at final-13682 scale (17.2 GB for [29M, 9])")
+        -1, help="strips pair/camera gather: within-landmark patterns "
+                 "with fewer slots than this route through a "
+                 "per-observation leftover stream instead of their own "
+                 "strip group. 0 = no leftover stream; every pattern "
+                 "is a strip group and all strip tables are built per "
+                 "bucket, which bounds the flat [O, F<128] row-major "
+                 "intermediates whose lane padding OOMs HBM at "
+                 "final-13682 scale (17.2 GB for [29M, 9]) -- but "
+                 "drowns small/mid problems in thousands of tiny "
+                 "gathers (11x steady-state at trafalgar). -1 "
+                 "(default) = auto: leftover stream (16384) below "
+                 "strip_auto_obs_threshold observations, per-bucket "
+                 "strips (0) above")
+    strip_auto_obs_threshold: int = opt(
+        8_000_000, help="observation count above which "
+                        "strip_min_group=-1 (auto) switches from the "
+                        "leftover-stream routing to all-per-bucket "
+                        "strip tables (the flat per-obs intermediates "
+                        "cost ~512 B/obs of lane-padded HBM; 8M obs "
+                        "~= 4 GB, a quarter of a v5e chip)")
     compensated_accumulation: bool = opt(
         True, help="f32 mode: accumulate the CG dot products and the "
                    "model-cost decrease l_diff with error-free "
@@ -313,6 +323,38 @@ class SolverOptions:
 
     def use_projection_validity_check(self) -> bool:
         return self.optimized_cost != OptimizedCost.ERROR
+
+    def warn_inert_knobs(self) -> None:
+        """One-line warning per parity knob set to a non-default value
+        that the TPU manual solvers do not act on (matches the options
+        framework's unused-key discipline; the reference maps
+        min/max_lm_diagonal to Ceres only, option_utils.cpp:96-97)."""
+        import warnings
+
+        inert = [
+            ("use_householder_marginalization",
+             self.use_householder_marginalization, True),
+            ("staged_execution", self.staged_execution, True),
+            ("reduction_alg", self.reduction_alg, 1),
+            ("min_lm_diagonal", self.min_lm_diagonal, 1e-6),
+            ("max_lm_diagonal", self.max_lm_diagonal, 1e32),
+        ]
+        for name, value, default in inert:
+            if value != default:
+                warnings.warn(
+                    f"solver option '{name}={value}' is accepted but "
+                    f"inert on TPU (CERES baseline only for "
+                    f"min/max_lm_diagonal)", stacklevel=3)
+
+    def effective_strip_min_group(self, num_observations: int) -> int:
+        """Resolve strip_min_group=-1 (auto) by problem size: the
+        leftover-stream routing (16384) is 2.5-11x faster below
+        final-13682 scale, the all-strips routing (0) is what keeps
+        the per-obs flat intermediates out of HBM above it."""
+        if self.strip_min_group >= 0:
+            return self.strip_min_group
+        return (16384 if num_observations <= self.strip_auto_obs_threshold
+                else 0)
 
 
 @dataclass

@@ -509,7 +509,7 @@ class SCLinearizer(LinearizerBase):
             self.pair_csr, pairs_host = _build_pair_index(
                 self.bp, self.num_cameras, opts.pair_gather,
                 dense_grid=self.dense_rcs,
-                min_group=opts.strip_min_group)
+                min_group=opts.effective_strip_min_group(self.bp.num_observations))
             if self.bsr_rcs:
                 from rootba_tpu.bal.bucketing import build_bsr_matvec
                 from rootba_tpu.solver.linearization import (
@@ -527,7 +527,7 @@ class SCLinearizer(LinearizerBase):
 
                 cstrips = CamStripsIndex.from_host(build_cam_strips(
                     self.bp.buckets, self.num_cameras,
-                    min_group=opts.strip_min_group))
+                    min_group=opts.effective_strip_min_group(self.bp.num_observations)))
         else:
             self.pairs = build_pair_structure(self.bp, self.num_cameras)
         cam_flat = jnp.concatenate(
@@ -753,7 +753,7 @@ class PowerSCLinearizer(SCLinearizer):
             self.pair_csr, pairs_host = _build_pair_index(
                 self.bp, self.num_cameras, opts.pair_gather,
                 dense_grid=self.dense_rcs,
-                min_group=opts.strip_min_group)
+                min_group=opts.effective_strip_min_group(self.bp.num_observations))
             if self.bsr_rcs:
                 from rootba_tpu.bal.bucketing import build_bsr_matvec
                 from rootba_tpu.solver.linearization import (
@@ -771,7 +771,7 @@ class PowerSCLinearizer(SCLinearizer):
 
                 cstrips = CamStripsIndex.from_host(build_cam_strips(
                     self.bp.buckets, self.num_cameras,
-                    min_group=opts.strip_min_group))
+                    min_group=opts.effective_strip_min_group(self.bp.num_observations)))
         cam_flat = jnp.concatenate(
             [b.cam_idx.reshape(-1) for b in self.buckets])
         self.consts = (self.buckets, self.cam_csr, self.pair_csr,

@@ -247,8 +247,15 @@ def optimize_lm_fused(
     bp,
     options: SolverOptions,
     summary: Optional[SolverSummary] = None,
+    *,
+    linearizer=None,
+    solve_fn=None,
 ):
-    """Fused-driver equivalent of rootba_tpu.solver.lm.optimize_lm."""
+    """Fused-driver equivalent of rootba_tpu.solver.lm.optimize_lm.
+
+    Pass `linearizer` + `solve_fn` (from a previous call or from
+    build_fused_lm) to reuse the already-traced whole-solve program —
+    a second run then measures device execution only."""
     from rootba_tpu.solver.lm import create_linearizer, initial_state
 
     if summary is None:
@@ -266,8 +273,10 @@ def optimize_lm_fused(
 
         mesh = make_mesh(options.num_devices)
 
-    linearizer = create_linearizer(bp, options, dtype, mesh)
-    solve_fn = build_fused_lm(linearizer, options)
+    if linearizer is None:
+        linearizer = create_linearizer(bp, options, dtype, mesh)
+    if solve_fn is None:
+        solve_fn = build_fused_lm(linearizer, options)
 
     state = initial_state(bp, dtype)
     if hasattr(linearizer, "prepare_state"):

@@ -58,6 +58,11 @@ class CamCsrIndex(NamedTuple):
     idx2: jnp.ndarray  # [N, vmax] int32
 
 
+# per-chunk gather budget for _level2_reduce (module global so tests
+# can shrink it and force the lax.map-chunked path on toy problems)
+_LEVEL2_CHUNK_BYTES = 16 << 20
+
+
 def _level2_reduce(rows: jnp.ndarray, idx2: jnp.ndarray) -> jnp.ndarray:
     """Second-level run reduction shared by every gather-reduce here:
     out[s] = sum_v rows[idx2[s, v]] (idx2 padded with the dump row).
@@ -66,7 +71,7 @@ def _level2_reduce(rows: jnp.ndarray, idx2: jnp.ndarray) -> jnp.ndarray:
     where a popular camera pair spans vmax ~ 95 runs)."""
     S, V = idx2.shape
     F = rows.shape[1]
-    chunk = max(1, min(S, (16 << 20) // max(V * F * 4, 1)))
+    chunk = max(1, min(S, _LEVEL2_CHUNK_BYTES // max(V * F * 4, 1)))
     Spad = -(-S // chunk) * chunk
     ix = idx2 if Spad == S else jnp.concatenate(
         [idx2, jnp.full((Spad - S, V), rows.shape[0] - 1, jnp.int32)])

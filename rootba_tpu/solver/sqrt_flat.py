@@ -104,7 +104,7 @@ def _bucket_offsets(buckets):
 _ROW_CHUNK_SLOTS = 262_144
 
 
-def _map_rows(f, tables, L, n, budget_slots=_ROW_CHUNK_SLOTS):
+def _map_rows(f, tables, L, n, budget_slots=None):
     """Apply f(list of [Lc, *] tables) -> pytree of [Lc, *] outputs
     over landmark-row chunks of a bucket's tables under lax.map.
 
@@ -112,6 +112,10 @@ def _map_rows(f, tables, L, n, budget_slots=_ROW_CHUNK_SLOTS):
     XLA otherwise schedules many buckets' fusions concurrently and
     their lane-padded narrow intermediates ([rows, 3/9] -> 128 lanes)
     coexist -- 70 GB at final-13682 before chunking."""
+    if budget_slots is None:
+        # resolved at call time so tests can shrink the module global
+        # and force the chunked path on toy problems (VERDICT r2 item 5)
+        budget_slots = _ROW_CHUNK_SLOTS
     budget_rows = max(8, (budget_slots // max(n, 1)) // 8 * 8)
     if L <= budget_rows:
         return f(tables)
@@ -581,7 +585,7 @@ class FlatSqrtLinearizer(LinearizerBase):
                 pairs_host = build_pair_strips(
                     self.bp.buckets, N, grid_n=grid,
                     dense_grid=explicit,
-                    min_group=opts.strip_min_group)
+                    min_group=opts.effective_strip_min_group(self.bp.num_observations))
                 pairs = PairStripsIndex.from_host(pairs_host)
             else:
                 from rootba_tpu.bal.bucketing import build_pair_csr
@@ -611,7 +615,7 @@ class FlatSqrtLinearizer(LinearizerBase):
 
             cstrips = CamStripsIndex.from_host(build_cam_strips(
                 self.bp.buckets, N,
-                min_group=opts.strip_min_group))
+                min_group=opts.effective_strip_min_group(self.bp.num_observations)))
         self.consts = (self.buckets, self.cam_csr, cam_flat, pairs,
                        cstrips, bsr)
         use_valid = opts.use_projection_validity_check()

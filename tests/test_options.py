@@ -98,3 +98,42 @@ def test_cli_rejects_unknown_config_key(tmp_path):
     cfg.write_text("[solver]\nbogus = 1\n")
     with pytest.raises(SystemExit):
         parse_bal_app_arguments("t", argv=["--config", str(cfg)])
+
+
+def test_inert_knob_warning():
+    """Non-default values of parity-only knobs warn once (VERDICT r2
+    item 7; matches the unused-key discipline of the reference options
+    framework, options_interface.cpp:86-170)."""
+    import warnings
+
+    from rootba_tpu.config.options import SolverOptions
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        SolverOptions().warn_inert_knobs()
+    assert not rec  # defaults stay silent
+
+    opts = SolverOptions(staged_execution=False, max_lm_diagonal=1e10)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        opts.warn_inert_knobs()
+    msgs = [str(w.message) for w in rec]
+    assert len(msgs) == 2
+    assert any("staged_execution" in m and "inert" in m for m in msgs)
+    assert any("max_lm_diagonal" in m for m in msgs)
+
+
+def test_strip_min_group_auto_resolution():
+    """strip_min_group=-1 resolves by problem size: leftover-stream
+    routing below the threshold, all-per-bucket strips above (the
+    round-2 strip_min_group=0 default cost 11x at trafalgar)."""
+    from rootba_tpu.config.options import SolverOptions
+
+    opts = SolverOptions()
+    assert opts.strip_min_group == -1
+    assert opts.effective_strip_min_group(1_551_077) == 16384  # traf
+    assert opts.effective_strip_min_group(28_987_644) == 0  # final13682
+    assert SolverOptions(
+        strip_min_group=7).effective_strip_min_group(10**9) == 7
+    assert SolverOptions(
+        strip_min_group=0).effective_strip_min_group(100) == 0

@@ -519,3 +519,128 @@ def test_strip_min_group_option(synthetic_problem, dtype):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
             err_msg=f"component {i} (strip_min_group=0)")
+
+
+# ---------------------------------------------------------------------------
+# scale-only code paths forced at toy size (VERDICT r2 item 5): the
+# chunked/split/degraded paths that must be correct at final-13682 run
+# in CI against their unchunked equivalents, mirroring the reference's
+# dual-path reduction_alg equivalence discipline (solver_options.hpp:266)
+# ---------------------------------------------------------------------------
+
+def test_row_chunked_chains_equivalence(synthetic_problem, dtype,
+                                        monkeypatch):
+    """sqrt_flat._map_rows row-chunking (active only above 262k/n rows
+    in production, i.e. final-scale) == the unchunked chains."""
+    from rootba_tpu.solver import sqrt_flat
+
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pallas_cg="off")
+    monkeypatch.setattr(sqrt_flat, "_ROW_CHUNK_SLOTS", 64)
+    got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pallas_cg="off")
+    rtol = 1e-4 if dtype.itemsize == 4 else 1e-10
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (row-chunked chains)")
+
+
+def test_level2_chunked_reduce_equivalence(synthetic_problem, dtype,
+                                           monkeypatch):
+    """linearization._level2_reduce lax.map chunking (active only above
+    its byte budget, i.e. final-scale pair counts) == one-chunk path."""
+    from rootba_tpu.solver import linearization as lz
+
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pallas_cg="off")
+    monkeypatch.setattr(lz, "_LEVEL2_CHUNK_BYTES", 256)
+    got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pallas_cg="off")
+    rtol = 1e-4 if dtype.itemsize == 4 else 1e-10
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (level-2 chunked reduce)")
+
+
+def test_bucket_splitting_equivalence(synthetic_problem, dtype):
+    """bucketize(max_bucket_obs=tiny) splits every obs-count class into
+    many buckets (the final-13682 HBM bound); camera-side results and
+    re-scattered landmarks match the unsplit bucketization."""
+    from rootba_tpu.bal.bucketing import scatter_landmarks
+    from rootba_tpu.solver.lm import create_linearizer
+
+    def solve_scattered(bp):
+        opts = SolverOptions(use_double=(dtype.type == np.float64),
+                             sqrt_rcs_mode="dense", pallas_cg="off")
+        lin = create_linearizer(bp, opts, dtype.type)
+        state = initial_state(bp, dtype.type)
+        lam = jnp.asarray(1e-3, dtype.type)
+        lins, pose_scale, _ = lin._stage1_fn(lin.consts, state.cams,
+                                             state.lm_ps)
+        inc, s2, iters, _ = lin._lsolve_fn(
+            lin.consts, lins, lin._stage2_fn(lin.consts, lins, lam))
+        cams, lm_ps, l_diff = lin._apply_fn(
+            lin.consts, state.cams, state.lm_ps, lins, s2, pose_scale,
+            inc)
+        lms = scatter_landmarks(
+            bp, [np.asarray(p, np.float64) for p in lm_ps])
+        return (np.asarray(pose_scale), np.asarray(s2.b),
+                np.asarray(inc), float(l_diff), np.asarray(cams.q), lms)
+
+    ref = solve_scattered(bucketize(synthetic_problem, pow2_from=9))
+    split_bp = bucketize(synthetic_problem, pow2_from=9,
+                         max_bucket_obs=64)
+    assert len(split_bp.buckets) > len(
+        bucketize(synthetic_problem, pow2_from=9).buckets)
+    got = solve_scattered(split_bp)
+    rtol = 1e-4 if dtype.itemsize == 4 else 1e-10
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (bucket splitting)")
+
+
+def test_attempt_degradation_half_and_separate(synthetic_problem):
+    """The fused-attempt full -> half -> separate runtime degradation
+    (production trigger: compile-service OOM at final scale) preserves
+    LM semantics: a solver whose full/half fused programs 'fail' lands
+    on the same cost trajectory as the undegraded one."""
+    from rootba_tpu.solver.lm import create_linearizer, optimize_lm
+
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    opts = SolverOptions(use_double=False, max_num_iterations=6,
+                         function_tolerance=0.0, verbosity_level=0,
+                         lm_loop="host")
+
+    from rootba_tpu.log.summary import SolverSummary
+
+    s_ref = SolverSummary()
+    optimize_lm(bp, opts, s_ref)
+    costs_ref = [it.cost.all.error for it in s_ref.iterations]
+
+    def fail(*a, **k):
+        raise jax.errors.JaxRuntimeError(
+            "RESOURCE_EXHAUSTED: simulated compile-service OOM (test)")
+
+    # full -> half
+    lin = create_linearizer(bp, opts, jnp.float32)
+    lin._attempt_full = fail
+    s_half = SolverSummary()
+    optimize_lm(bp, opts, s_half, linearizer=lin)
+    assert lin._attempt_mode == "half"
+    costs_half = [it.cost.all.error for it in s_half.iterations]
+    np.testing.assert_allclose(costs_half, costs_ref, rtol=1e-5)
+
+    # full -> half -> separate
+    lin2 = create_linearizer(bp, opts, jnp.float32)
+    lin2._attempt_full = fail
+    lin2._attempt_half = fail
+    s_sep = SolverSummary()
+    optimize_lm(bp, opts, s_sep, linearizer=lin2)
+    assert lin2._attempt_mode == "separate"
+    costs_sep = [it.cost.all.error for it in s_sep.iterations]
+    np.testing.assert_allclose(costs_sep, costs_ref, rtol=1e-5)
