@@ -38,7 +38,10 @@ import jax.numpy as jnp
 from rootba_tpu.ops.block9 import chol9, chol9_solve
 from rootba_tpu.config.options import PreconditionerType, SolverOptions
 from rootba_tpu.core import lie
-from rootba_tpu.ops.batched_qr import householder_qr3, solve_upper
+from rootba_tpu.ops.batched_qr import (
+    householder_qr3_planar,
+    solve_upper,
+)
 from rootba_tpu.solver.cg import pcg
 from rootba_tpu.solver.linearization import (
     POSE_SIZE,
@@ -226,11 +229,17 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
     Rs = []
     for bucket, jl_b in zip(buckets, lin.Jl):
         L, n = bucket.cam_idx.shape
-        Jl2 = jl_b.reshape(L, 2 * n, 3)
-        damp = jnp.sqrt(lam).astype(dtype) * jnp.broadcast_to(
-            jnp.eye(3, dtype=dtype), (L, 3, 3))
-        aug = jnp.concatenate([Jl2, damp], axis=1)
-        R, Q1 = householder_qr3(aug)
+        # damped thin-QR in PLANAR [m, 3, L] form: the row-major
+        # [L, m, 3] chain lane-pads every intermediate 3 -> 128
+        # (measured 33 ms/solve of padding traffic in the fused
+        # ladybug program; see householder_qr3_planar)
+        Jl2p = jl_b.T.reshape(2 * n, 3, L)
+        dampp = jnp.sqrt(lam).astype(dtype) * jnp.broadcast_to(
+            jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, L))
+        augp = jnp.concatenate([Jl2p, dampp], axis=0)
+        Rp, Q1p = householder_qr3_planar(augp)
+        R = jnp.transpose(Rp, (2, 0, 1))
+        Q1 = jnp.transpose(Q1p, (2, 0, 1))
         Rs.append(R)
         # materialize each bucket's Q1h once: it feeds several
         # consumers (RHS projection, RCS assembly, CG matvec) and XLA

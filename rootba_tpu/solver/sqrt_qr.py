@@ -37,7 +37,10 @@ import jax
 import jax.numpy as jnp
 
 from rootba_tpu.ops.block9 import chol9, chol9_solve
-from rootba_tpu.ops.batched_qr import householder_qr3, solve_upper
+from rootba_tpu.ops.batched_qr import (
+    householder_qr3_planar,
+    solve_upper,
+)
 from rootba_tpu.solver.linearization import (
     POSE_SIZE,
     BucketIndex,
@@ -64,12 +67,17 @@ def _augmented_qr(lin: LinBucket, lam) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Thin QR of [Jl_s; sqrt(lam) I3] -> (R [L,3,3], Q1h [L,n,2,3])."""
     L, n = lin.Jl.shape[0], lin.Jl.shape[1]
     dtype = lin.Jl.dtype
-    Jl2 = lin.Jl.reshape(L, 2 * n, 3)
-    damp = jnp.sqrt(lam).astype(dtype) * jnp.broadcast_to(
-        jnp.eye(3, dtype=dtype), (L, 3, 3)
+    # planar [m, 3, L] QR: the row-major [L, m, 3] chain lane-pads
+    # every Householder intermediate 3 -> 128 (see
+    # householder_qr3_planar)
+    Jl2p = jnp.transpose(lin.Jl.reshape(L, 2 * n, 3), (1, 2, 0))
+    dampp = jnp.sqrt(lam).astype(dtype) * jnp.broadcast_to(
+        jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, L)
     )
-    aug = jnp.concatenate([Jl2, damp], axis=1)  # [L, 2n+3, 3]
-    R, Q1 = householder_qr3(aug)
+    augp = jnp.concatenate([Jl2p, dampp], axis=0)  # [2n+3, 3, L]
+    Rp, Q1p = householder_qr3_planar(augp)
+    R = jnp.transpose(Rp, (2, 0, 1))
+    Q1 = jnp.transpose(Q1p, (2, 0, 1))
     return R, Q1[:, : 2 * n, :].reshape(L, n, 2, 3)
 
 
