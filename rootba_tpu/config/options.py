@@ -74,6 +74,7 @@ class SolverType(StrEnum):
 
 class PreconditionerType(StrEnum):
     IDENTITY = "IDENTITY"
+    DIAGONAL = "DIAGONAL"
     JACOBI = "JACOBI"
     SCHUR_JACOBI = "SCHUR_JACOBI"
     POWER_SCHUR_COMPLEMENT = "POWER_SCHUR_COMPLEMENT"

@@ -538,10 +538,14 @@ class SCLinearizer(LinearizerBase):
                        self.pair_csr, cam_flat, cstrips, bsr)
         precond_type = opts.preconditioner_type
         if precond_type not in (PreconditionerType.SCHUR_JACOBI,
+                                PreconditionerType.DIAGONAL,
                                 PreconditionerType.POWER_SCHUR_COMPLEMENT):
             raise ValueError(
                 f"preconditioner {precond_type} not implemented for the "
                 f"SCHUR_COMPLEMENT solver")
+        # scalar DIAGONAL = diag of the SCHUR_JACOBI blocks (reference
+        # preconditioner.hpp:48-69)
+        precond_diag = precond_type == PreconditionerType.DIAGONAL
 
         from rootba_tpu.solver.linearization import compute_error_buckets
 
@@ -588,6 +592,9 @@ class SCLinearizer(LinearizerBase):
                 if diag is None:
                     diag = sc_diag_blocks(stage2, pairs,
                                           self.num_cameras)
+                if precond_diag:
+                    # scalar DIAGONAL: keep the matrix diagonal only
+                    diag = diag * jnp.eye(P9, dtype=diag.dtype)
                 chol = chol9(diag)
             else:
                 jacobi = jp_gram_blockdiag(lins, buckets, lam,

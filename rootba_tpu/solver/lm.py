@@ -500,8 +500,11 @@ class SqrtLinearizer(LinearizerBase):
         opts = self.options
         precond_jacobi = (opts.preconditioner_type
                           == PreconditionerType.JACOBI)
+        precond_diag = (opts.preconditioner_type
+                        == PreconditionerType.DIAGONAL)
         if opts.preconditioner_type not in (
-                PreconditionerType.JACOBI, PreconditionerType.SCHUR_JACOBI):
+                PreconditionerType.JACOBI, PreconditionerType.SCHUR_JACOBI,
+                PreconditionerType.DIAGONAL):
             raise ValueError(
                 f"preconditioner {opts.preconditioner_type} not implemented "
                 f"for the SQUARE_ROOT solver")
@@ -525,7 +528,8 @@ class SqrtLinearizer(LinearizerBase):
             # scatter, and it runs once per solve (vs ~100 matvecs)
             return sqrt_qr.sqrt_stage2(
                 lins, buckets, lam, self.num_cameras,
-                precond_jacobi=precond_jacobi, csr=None)
+                precond_jacobi=precond_jacobi,
+                precond_diagonal=precond_diag, csr=None)
 
         def lsolve_fn(consts, lins, stage2):
             buckets, csr = consts

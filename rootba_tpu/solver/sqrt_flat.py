@@ -215,6 +215,7 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
 
 def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
                 *, precond_jacobi: bool = False,
+                precond_diagonal: bool = False,
                 csr=None, with_precond: bool = True,
                 cam_strips=None) -> FlatStage2:
     """Stage 2 (reference get_stage2, linearization_qr.hpp:716-815):
@@ -328,6 +329,12 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
                        * jnp.tile(ps, (1, P9)))
     blocks = blocks.reshape(num_cameras, P9, P9)
     blocks = blocks + lam.astype(dtype) * jnp.eye(P9, dtype=dtype)
+    if precond_diagonal:
+        # scalar DIAGONAL preconditioner (reference
+        # preconditioner.hpp:48-69): keep only the matrix diagonal;
+        # chol9 of a diagonal block is its elementwise sqrt, so the
+        # block machinery (incl. the Pallas CG) applies unchanged
+        blocks = blocks * jnp.eye(P9, dtype=dtype)
     chol = chol9(blocks)
 
     return FlatStage2(Q1h=Q1h, R=tuple(Rs), b=b, precond_chol=chol,
@@ -544,8 +551,13 @@ class FlatSqrtLinearizer(LinearizerBase):
         opts = self.options
         precond_jacobi = (opts.preconditioner_type
                           == PreconditionerType.JACOBI)
+        # scalar DIAGONAL = diag of the SCHUR_JACOBI blocks
+        # (reference preconditioner.hpp:48-69)
+        precond_diag = (opts.preconditioner_type
+                        == PreconditionerType.DIAGONAL)
         if opts.preconditioner_type not in (
-                PreconditionerType.JACOBI, PreconditionerType.SCHUR_JACOBI):
+                PreconditionerType.JACOBI, PreconditionerType.SCHUR_JACOBI,
+                PreconditionerType.DIAGONAL):
             raise ValueError(
                 f"preconditioner {opts.preconditioner_type} not implemented "
                 f"for the SQUARE_ROOT solver")
@@ -669,6 +681,10 @@ class FlatSqrtLinearizer(LinearizerBase):
                                                  buckets=buckets,
                                                  cam_strips=cstrips_)
                 if not precond_jacobi:
+                    if precond_diag:
+                        # scalar DIAGONAL: drop the off-diagonals of
+                        # the assembled-H blocks before the factor
+                        diag = diag * jnp.eye(P9, dtype=diag.dtype)
                     chol = chol9(diag)
                     stage2 = stage2._replace(precond_chol=chol)
                 return stage2, Hd
@@ -678,7 +694,8 @@ class FlatSqrtLinearizer(LinearizerBase):
             # fused sweep.
             stage2 = flat_stage2(
                 lins, buckets, cam_flat, lam, N,
-                precond_jacobi=precond_jacobi, csr=None)
+                precond_jacobi=precond_jacobi,
+                precond_diagonal=precond_diag, csr=None)
             return stage2, None
 
         def lsolve_fn(consts, lins, aux):

@@ -94,6 +94,7 @@ def sqrt_stage2(
     num_cameras: int,
     *,
     precond_jacobi: bool = False,
+    precond_diagonal: bool = False,
     csr: CamCsrIndex | None = None,
 ) -> SqrtStage2:
     """Per-lambda stage 2 (reference get_stage2,
@@ -166,6 +167,11 @@ def sqrt_stage2(
     # damping vector and SCHUR_JACOBI's += lam, reference
     # linearizor_qr.cpp:216-232, linearization_qr.hpp:485-486)
     blocks = blocks + lam.astype(dtype) * jnp.eye(POSE_SIZE, dtype=dtype)
+    if precond_diagonal:
+        # scalar DIAGONAL preconditioner (reference
+        # preconditioner.hpp:48-69): diagonal of the SCHUR_JACOBI
+        # blocks; chol9 of a diagonal block is its elementwise sqrt
+        blocks = blocks * jnp.eye(POSE_SIZE, dtype=dtype)
     chol = chol9(blocks)
 
     return SqrtStage2(Q1h=tuple(Q1hs), R=tuple(Rs), b=b, precond_chol=chol,

@@ -644,3 +644,38 @@ def test_attempt_degradation_half_and_separate(synthetic_problem):
     assert lin2._attempt_mode == "separate"
     costs_sep = [it.cost.all.error for it in s_sep.iterations]
     np.testing.assert_allclose(costs_sep, costs_ref, rtol=1e-5)
+
+
+def test_diagonal_preconditioner(synthetic_problem):
+    """Scalar DIAGONAL preconditioner (reference DiagonalPreconditioner,
+    cg/preconditioner.hpp:48-69): with CG run to tight tolerance, the
+    increment matches the SCHUR_JACOBI-preconditioned solve (a
+    preconditioner changes the iteration, not the solution)."""
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    # CG's q-criterion stops on the quadratic-model decrease, so two
+    # different preconditioners land within ~1e-4 of each other (the
+    # scalar diagonal needs ~3x the iterations, as expected)
+    tol = dict(rtol=1e-3, atol=1e-3)
+    tight = dict(eta=1e-10, max_linear_solver_iterations=3000)
+    ref = _one_solve(bp, "flat", 1, np.float64, sqrt_rcs_mode="implicit",
+                     **tight)
+    got = _one_solve(bp, "flat", 1, np.float64, sqrt_rcs_mode="implicit",
+                     preconditioner_type=PreconditionerType.DIAGONAL,
+                     **tight)
+    np.testing.assert_allclose(got[2], ref[2], **tol,
+                               err_msg="increment (diagonal precond)")
+
+    # einsum layout + SC solver accept it too
+    got_e = _one_solve(bp, "einsum", 1, np.float64,
+                       preconditioner_type=PreconditionerType.DIAGONAL,
+                       **tight)
+    np.testing.assert_allclose(got_e[2], ref[2], **tol,
+                               err_msg="increment (einsum diagonal)")
+    got_sc = _one_solve(bp, "einsum", 1, np.float64,
+                        solver_type=SolverType.SCHUR_COMPLEMENT,
+                        preconditioner_type=PreconditionerType.DIAGONAL,
+                        **tight)
+    ref_sc = _one_solve(bp, "einsum", 1, np.float64,
+                        solver_type=SolverType.SCHUR_COMPLEMENT, **tight)
+    np.testing.assert_allclose(got_sc[2], ref_sc[2], **tol,
+                               err_msg="increment (sc diagonal)")
