@@ -62,13 +62,15 @@ def main():
     costs_plain = run_leg(name, iters, compensated=False)
     print(f"f32 legs done ({time.monotonic() - t0:.0f}s)", flush=True)
 
-    env = dict(os.environ)
-    env["ROOTBA_PRECISION_LEG"] = "f64cpu"
-    env["PYTHONPATH"] = os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))
-    subprocess.run([sys.executable, "-u", os.path.abspath(__file__),
-                    name, str(iters)], env=env, check=True)
-    costs_f64 = json.load(open(f"/tmp/precision_f64_{name}.json"))
+    f64_path = f"/tmp/precision_f64_{name}.json"
+    if not os.path.exists(f64_path):  # hours-long at venice scale on
+        env = dict(os.environ)        # CPU; reuse a cached leg
+        env["ROOTBA_PRECISION_LEG"] = "f64cpu"
+        env["PYTHONPATH"] = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))
+        subprocess.run([sys.executable, "-u", os.path.abspath(__file__),
+                        name, str(iters)], env=env, check=True)
+    costs_f64 = json.load(open(f64_path))
 
     n = min(len(costs_comp), len(costs_plain), len(costs_f64))
 

@@ -111,7 +111,7 @@ _TEMPLATE = """<!DOCTYPE html>
 </canvas>
 <div id="hud"></div>
 <div id="ctl"><button id="bcam">frusta</button>
-<button id="bov">image overlay</button>
+<button id="bov">image overlay</button><!--LIVEBTN-->
 <label> cam <input id="cam" type="number" value="0" min="0"
  style="width:5em;background:#222;color:#ccc;border:1px solid #345">
 </label><span id="info"></span></div>
@@ -244,13 +244,15 @@ document.getElementById('bov').onclick=
   ()=>{showOv=!showOv;drawOverlay();};
 document.getElementById('cam').oninput=drawOverlay;
 resize();
+__LIVE__
 </script></body></html>
 """
 
 def export_html(problem: BalProblem, path: str,
                 max_points: int = 400_000):
     payload = viewer_payload(problem, max_points=max_points)
-    html = _TEMPLATE.replace("__DATA__", json.dumps(payload))
+    html = (_TEMPLATE.replace("__DATA__", json.dumps(payload))
+            .replace("<!--LIVEBTN-->", "").replace("__LIVE__", ""))
     with open(path, "w") as fp:
         fp.write(html)
     print(f"wrote {path} ({len(html) / 2**20:.1f} MB, "

@@ -625,6 +625,7 @@ def optimize_lm(
     summary: Optional[SolverSummary] = None,
     *,
     linearizer: Optional["LinearizerBase"] = None,
+    iteration_callback=None,
 ) -> Tuple[BAState, SolverSummary]:
     """The LM minimizer (reference optimize_lm_ours,
     bal_bundle_adjustment.cpp:249-544).
@@ -632,7 +633,12 @@ def optimize_lm(
     Pass `linearizer` to reuse an already-built (and warm) linearizer:
     its jitted stage programs are per-instance, so a second solve with
     the same instance skips re-trace/re-compile entirely (used by
-    benchmarks/suite.py to time solve, not tracing)."""
+    benchmarks/suite.py to time solve, not tracing).
+
+    `iteration_callback(it, state, summary)` fires after every LM
+    iteration (the role of Ceres's IterationCallback / the reference
+    GUI's per-iteration redraw, app/bal_gui.cpp:88-116); exceptions in
+    the callback abort the solve."""
     if summary is None:
         summary = SolverSummary()
     verbose = options.verbosity_level >= 2
@@ -710,6 +716,8 @@ def optimize_lm(
                       f"iteration {resume_it} (lambda {lam:.2e})")
 
     def maybe_checkpoint():
+        if iteration_callback is not None:
+            iteration_callback(it, linearizer.state, summary)
         if ckpt_path and ckpt_interval > 0 and it % ckpt_interval == 0:
             from rootba_tpu.utils.checkpoint import (
                 iteration_to_dict,

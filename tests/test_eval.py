@@ -261,3 +261,69 @@ def test_html_viewer(tmp_path):
     html = out.read_text()
     assert "http://" not in html and "https://" not in html
     assert "rootba_tpu map" in html
+
+
+def test_live_view_server():
+    """Live-optimize viewer (reference bal_gui.cpp:88-116 optimize
+    button): POST /optimize runs the solver on a background thread;
+    /state serves decreasing costs and fresh point buffers."""
+    import json
+    import threading
+    import time
+    import urllib.request
+
+    from rootba_tpu.bal.synthetic import generate_synthetic_bal
+    from rootba_tpu.config.options import SolverOptions
+    from rootba_tpu.eval import live_view
+
+    p = generate_synthetic_bal(num_cams=6, num_lms=60,
+                               mean_obs_per_lm=4.0, seed=5)
+    p.normalize(100.0)
+    p.perturb(0.0, 0.01, 0.01, 38401)
+    p.filter_obs(0.1)
+
+    opts = SolverOptions(use_double=False, lm_loop="host",
+                         verbosity_level=0, max_num_iterations=3)
+    port = 8123
+    t = threading.Thread(
+        target=live_view.serve,
+        kwargs=dict(problem=p, options=opts, port=port),
+        daemon=True)
+    t.start()
+
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path):
+        return urllib.request.urlopen(base + path, timeout=10).read()
+
+    for _ in range(50):  # wait for the server socket
+        try:
+            html = get("/").decode()
+            break
+        except OSError:
+            time.sleep(0.1)
+    assert "bopt" in html and "optimize" in html
+
+    req = urllib.request.Request(base + "/optimize", method="POST")
+    assert json.loads(urllib.request.urlopen(req, timeout=10).read())[
+        "status"] == "started"
+
+    costs = []
+    deadline = time.monotonic() + 240
+    last = -1
+    while time.monotonic() < deadline:
+        raw = get(f"/state?since={last}")
+        assert b"NaN" not in raw  # NaN is invalid JSON; browsers reject
+        d = json.loads(raw)
+        if d["it"] > last:
+            last = d["it"]
+            costs.append(d["cost"])
+            if d["it"] >= 0:
+                assert "payload" in d and "points" in d["payload"]
+        if d["done"]:
+            break
+        time.sleep(0.3)
+    else:
+        raise AssertionError("live solve did not finish in time")
+    assert len(costs) >= 3
+    assert costs[-1] < costs[0]  # the optimize button optimized
