@@ -309,8 +309,20 @@ class LinearizerBase:
         the latest calibration fractions (flagged attributed)."""
         if self.it_summary is None:
             return
-        f = self._timing_fracs or {
-            "prepare": 0.1, "lsolve": 0.7, "bsub": 0.1, "err": 0.1}
+        if self._timing_fracs is None:
+            # no calibration has run (timing_calibration_interval=0 --
+            # the default interval calibrates on the very FIRST
+            # attempt, so this only happens when explicitly disabled):
+            # leave the per-stage fields at 0 rather than fabricating a
+            # split; the iteration still carries its measured total and
+            # the attributed flag
+            self.it_summary.timing_attributed = True
+            self.it_summary.linear_solver_iterations = int(cg_iters)
+            self.it_summary.linear_solver_message = (
+                f"cg_term={int(cg_term)} iters={int(cg_iters)}")
+            self.it_summary.linear_solver_type = self.linear_solver_type
+            return
+        f = self._timing_fracs
         sub = {k: f[k] for k in keys}
         norm = sum(sub.values()) or 1.0
         fields = {
