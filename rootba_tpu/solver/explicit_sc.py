@@ -234,29 +234,41 @@ def _sc_strip_factors(lins, Hll_invs, pair_idx, cam_strips,
     for lin, Hll_inv in zip(lins, Hll_invs):
         L, n = lin.Jp.shape[0], lin.Jp.shape[1]
         if parts:
-            # T and HT in flat [*, 27] form (col c*9+j), strictly 2-D:
-            # rank-3 [*, 3, 9] values (even re-ranked reduce outputs)
-            # get (4,128)-tile-padded 19x when materialized (see
-            # sqrt_flat._rcs_factors)
-            jl_f = lin.Jl.reshape(L * n, 2, 3)
-            jp_f = lin.Jp.reshape(L * n, 2, P9)
-            T27 = (jnp.repeat(jl_f[:, 0, :], P9, axis=1)
-                   * jnp.tile(jp_f[:, 0, :], (1, 3))
-                   + jnp.repeat(jl_f[:, 1, :], P9, axis=1)
-                   * jnp.tile(jp_f[:, 1, :], (1, 3)))  # col c*9+j
-            # HT[., d*9+j] = sum_c Hinv[l,d,c] T27[., c*9+j], c
-            # unrolled so no [*, 3, 9]-shaped reduce output exists
-            Hf = Hll_inv.reshape(L, 9)  # col d*3+c
-            HT27 = jnp.zeros_like(T27)
-            for c in range(3):
-                hc = Hf[:, c::3]  # [L,3] cols d
-                hce = jnp.broadcast_to(
-                    jnp.repeat(hc, P9, axis=1)[:, None, :],
-                    (L, n, 3 * P9)).reshape(L * n, 3 * P9)
-                tc = jnp.tile(T27[:, c * P9:(c + 1) * P9], (1, 3))
-                HT27 = HT27 + hce * tc
-            T_parts.append(T27.reshape(L, n * 3 * P9))
-            HT_parts.append(HT27.reshape(L, n * 3 * P9))
+            # T and HT in flat [*, 27] form (col c*9+j), strictly 2-D
+            # (rank-3 [*, 3, 9] values get (4,128)-tile-padded 19x
+            # when materialized, see sqrt_flat._rcs_factors) and
+            # row-chunked under lax.map: unchunked, the [L*n, 3]
+            # slice temps alone are 430 MB each at a venice bucket
+            # (42.7x lane padding; compile-time HBM OOM, measured)
+            from rootba_tpu.solver.sqrt_flat import _map_rows
+
+            def th_chunk(ts, n=n):
+                jl_c, jp_c, h_c = ts
+                Lc = jl_c.shape[0]
+                jl_f = jl_c.reshape(Lc * n, 2, 3)
+                jp_f = jp_c.reshape(Lc * n, 2, P9)
+                T27 = (jnp.repeat(jl_f[:, 0, :], P9, axis=1)
+                       * jnp.tile(jp_f[:, 0, :], (1, 3))
+                       + jnp.repeat(jl_f[:, 1, :], P9, axis=1)
+                       * jnp.tile(jp_f[:, 1, :], (1, 3)))  # col c*9+j
+                # HT[., d*9+j] = sum_c Hinv[l,d,c] T27[., c*9+j], c
+                # unrolled so no [*, 3, 9]-shaped reduce output exists
+                Hf = h_c.reshape(Lc, 9)  # col d*3+c
+                HT27 = jnp.zeros_like(T27)
+                for c in range(3):
+                    hc = Hf[:, c::3]  # [Lc,3] cols d
+                    hce = jnp.broadcast_to(
+                        jnp.repeat(hc, P9, axis=1)[:, None, :],
+                        (Lc, n, 3 * P9)).reshape(Lc * n, 3 * P9)
+                    tc = jnp.tile(T27[:, c * P9:(c + 1) * P9], (1, 3))
+                    HT27 = HT27 + hce * tc
+                return (T27.reshape(Lc, n * 3 * P9),
+                        HT27.reshape(Lc, n * 3 * P9))
+
+            T_b, HT_b = _map_rows(th_chunk,
+                                  [lin.Jl, lin.Jp, Hll_inv], L, n)
+            T_parts.append(T_b)
+            HT_parts.append(HT_b)
             Jp_parts.append(lin.Jp.reshape(L, n * 2 * P9))
         else:
             # T[l,n,c,j] = sum_r Jl[l,n,r,c] Jp[l,n,r,j] (VPU
