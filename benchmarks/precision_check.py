@@ -38,7 +38,19 @@ def run_leg(name, iters, compensated, use_double=False):
         compensated_accumulation=compensated)
     s = SolverSummary()
     bundle_adjust(p, opts, s)
-    return [it.cost.all.error for it in s.iterations]
+    # accepted-cost envelope: rejected/invalid backtracking attempts
+    # record their ATTEMPTED cost (may be inf when an overlong step
+    # overflows f32) but the solver state keeps the previous cost --
+    # that is the trajectory the drift metric compares
+    import math
+
+    costs, cur = [], None
+    for it in s.iterations:
+        c = it.cost.all.error
+        if it.step_is_successful and math.isfinite(c):
+            cur = c
+        costs.append(cur if cur is not None else c)
+    return costs
 
 
 def main():
