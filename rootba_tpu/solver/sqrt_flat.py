@@ -149,43 +149,61 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
     failures = jnp.zeros((), jnp.int32)
     for lm_p, bucket in zip(lm_ps, buckets):
         L, n = bucket.cam_idx.shape
-        idx = bucket.cam_idx.reshape(-1)
-        X = jnp.broadcast_to(lm_p[:, 0:1], (L, n)).reshape(-1)
-        Y = jnp.broadcast_to(lm_p[:, 1:2], (L, n)).reshape(-1)
-        Z = jnp.broadcast_to(lm_p[:, 2:3], (L, n)).reshape(-1)
-        res_u, res_v, valid, Jp_pl, Jl_pl = snavely_planes(
-            *gather_cam_planes(table, idx), X, Y, Z,
-            bucket.obs_uv[..., 0].reshape(-1),
-            bucket.obs_uv[..., 1].reshape(-1))
-        sw, use_mask = robust_sqrt_weight(
-            res_u, res_v, valid, bucket.mask.reshape(-1), robust_norm,
-            huber_parameter, use_valid_only)
-        finite = jnp.isfinite(res_u) & jnp.isfinite(res_v)
-        for v in Jp_pl + Jl_pl:
-            finite = finite & jnp.isfinite(v)
-        failures = failures + jnp.sum(jnp.where(use_mask & ~finite, 1, 0))
-        jp_f = jnp.stack([sw * p for p in Jp_pl], axis=-1)  # [L*n,18]
-        jl_f = jnp.stack([sw * p for p in Jl_pl], axis=-1)  # [L*n,6]
-        r_parts.append(jnp.stack([sw * res_u, sw * res_v],
-                                 axis=-1).reshape(L, n * 2))
 
-        # landmark-Jacobian column scaling
-        # (landmark_block_base.ipp:572-587): col2[c] over both rows
-        col2 = (jl_f[:, :3] * jl_f[:, :3]
-                + jl_f[:, 3:] * jl_f[:, 3:])  # [L*n,3]
-        nrm = jnp.sqrt(jnp.sum(col2.reshape(L, n, 3), axis=1))
-        scale = 1.0 / (jacobi_eps + nrm)  # [L,3]
-        scales.append(scale)
-        se = jnp.broadcast_to(scale[:, None, :],
-                              (L, n, 3)).reshape(L * n, 3)
-        jl_parts.append((jl_f * jnp.tile(se, (1, 2))).reshape(
-            L, n * 6))
+        # the whole per-bucket linearize chain is row-chunked under
+        # lax.map: unchunked, the ~20 [L*n]-sized plane transients of
+        # every bucket coexist in XLA's schedule -- a runtime HBM OOM
+        # at final-13682 (33.6M slots; measured)
+        def lin_chunk(ts, n=n):
+            lmp_c, cam_c, uv_c, mask_c = ts
+            Lc = cam_c.shape[0]
+            idx = cam_c.reshape(-1)
+            X = jnp.broadcast_to(lmp_c[:, 0:1], (Lc, n)).reshape(-1)
+            Y = jnp.broadcast_to(lmp_c[:, 1:2], (Lc, n)).reshape(-1)
+            Z = jnp.broadcast_to(lmp_c[:, 2:3], (Lc, n)).reshape(-1)
+            res_u, res_v, valid, Jp_pl, Jl_pl = snavely_planes(
+                *gather_cam_planes(table, idx), X, Y, Z,
+                uv_c[..., 0].reshape(-1), uv_c[..., 1].reshape(-1))
+            sw, use_mask = robust_sqrt_weight(
+                res_u, res_v, valid, mask_c.reshape(-1), robust_norm,
+                huber_parameter, use_valid_only)
+            finite = jnp.isfinite(res_u) & jnp.isfinite(res_v)
+            for v in Jp_pl + Jl_pl:
+                finite = finite & jnp.isfinite(v)
+            fail = jnp.sum(jnp.where(use_mask & ~finite, 1, 0
+                                     ).reshape(Lc, n), axis=1)
+            jp_f = jnp.stack([sw * p for p in Jp_pl],
+                             axis=-1)  # [Lc*n,18]
+            jl_f = jnp.stack([sw * p for p in Jl_pl],
+                             axis=-1)  # [Lc*n,6]
+            r_c = jnp.stack([sw * res_u, sw * res_v],
+                            axis=-1).reshape(Lc, n * 2)
 
-        # pose diag^2 contribution [L, n*9]
-        jp2 = jp_f * jp_f
-        d2_parts.append(
-            (jp2[:, :P9] + jp2[:, P9:]).reshape(L, n * P9))
-        jp_us.append(jp_f)  # unscaled; pose scale applied below
+            # landmark-Jacobian column scaling
+            # (landmark_block_base.ipp:572-587): col2[c], both rows
+            col2 = (jl_f[:, :3] * jl_f[:, :3]
+                    + jl_f[:, 3:] * jl_f[:, 3:])  # [Lc*n,3]
+            nrm = jnp.sqrt(jnp.sum(col2.reshape(Lc, n, 3), axis=1))
+            scale = 1.0 / (jacobi_eps + nrm)  # [Lc,3]
+            se = jnp.broadcast_to(scale[:, None, :],
+                                  (Lc, n, 3)).reshape(Lc * n, 3)
+            jl_c = (jl_f * jnp.tile(se, (1, 2))).reshape(Lc, n * 6)
+
+            # pose diag^2 contribution [Lc, n*9]
+            jp2 = jp_f * jp_f
+            d2_c = (jp2[:, :P9] + jp2[:, P9:]).reshape(Lc, n * P9)
+            return (jp_f.reshape(Lc, n * 18), jl_c, r_c, d2_c,
+                    scale, fail)
+
+        jp_b, jl_b, r_b, d2_b, scale_b, fail_b = _map_rows(
+            lin_chunk,
+            [lm_p, bucket.cam_idx, bucket.obs_uv, bucket.mask], L, n)
+        failures = failures + jnp.sum(fail_b)
+        r_parts.append(r_b)
+        scales.append(scale_b)
+        jl_parts.append(jl_b)
+        d2_parts.append(d2_b)
+        jp_us.append(jp_b)  # unscaled; pose scale applied below
 
     # pose jacobi scaling (add_Jp_diag2 -> linearizor_qr.cpp:104-110)
     if cam_strips is not None and cam_strips.wi_idx.shape[0] == 0:
@@ -204,10 +222,7 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
     else:
         pose_scale = jnp.ones_like(diag2)
     # Jp stays unscaled (see FlatLin: the scale is deferred)
-    jp_parts = [jp_f.reshape(b.cam_idx.shape[0], b.cam_idx.shape[1] * 18)
-                for b, jp_f in zip(buckets, jp_us)]
-
-    return (FlatLin(Jp=tuple(jp_parts), Jl=tuple(jl_parts),
+    return (FlatLin(Jp=tuple(jp_us), Jl=tuple(jl_parts),
                     r=tuple(r_parts), Jl_scale=tuple(scales),
                     pose_scale=pose_scale),
             pose_scale, failures)
