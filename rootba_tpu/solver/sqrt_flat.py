@@ -122,17 +122,24 @@ def _map_rows(f, tables, L, n, budget_slots=None):
     budget_rows = max(8, (budget_slots // max(n, 1)) // 8 * 8)
     if L <= budget_rows:
         return f(tables)
-    C = -(-L // budget_rows)
-    Lpad = C * budget_rows
-    stacked = []
-    for t in tables:
-        if Lpad != L:
-            t = jnp.concatenate(
-                [t, jnp.zeros((Lpad - L,) + t.shape[1:], t.dtype)])
-        stacked.append(t.reshape((C, budget_rows) + t.shape[1:]))
-    out = jax.lax.map(lambda ts: f(list(ts)), tuple(stacked))
+    # no zero-pad copies: padding each input table to a chunk multiple
+    # duplicates it in HBM (measured 1.5-2 GB of pad.clone temps at
+    # final-13682, the difference between fitting and OOM). The
+    # divisible prefix runs under lax.map; the remainder is one direct
+    # tail call (leading-axis slice + reshape are layout-preserving).
+    C0 = L // budget_rows
+    main = C0 * budget_rows
+    stacked = tuple(
+        t[:main].reshape((C0, budget_rows) + t.shape[1:])
+        for t in tables)
+    out = jax.lax.map(lambda ts: f(list(ts)), stacked)
+    out = jax.tree_util.tree_map(
+        lambda o: o.reshape((main,) + o.shape[2:]), out)
+    if main == L:
+        return out
+    out_tail = f([t[main:] for t in tables])
     return jax.tree_util.tree_map(
-        lambda o: o.reshape((Lpad,) + o.shape[2:])[:L], out)
+        lambda a, b: jnp.concatenate([a, b], axis=0), out, out_tail)
 
 
 def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
