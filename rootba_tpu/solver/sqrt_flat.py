@@ -252,24 +252,33 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
     Rs = []
     for bucket, jl_b in zip(buckets, lin.Jl):
         L, n = bucket.cam_idx.shape
+
         # damped thin-QR in PLANAR [m, 3, L] form: the row-major
         # [L, m, 3] chain lane-pads every intermediate 3 -> 128
         # (measured 33 ms/solve of padding traffic in the fused
-        # ladybug program; see householder_qr3_planar)
-        Jl2p = jl_b.T.reshape(2 * n, 3, L)
-        dampp = jnp.sqrt(lam).astype(dtype) * jnp.broadcast_to(
-            jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, L))
-        augp = jnp.concatenate([Jl2p, dampp], axis=0)
-        Rp, Q1p = householder_qr3_planar(augp)
-        R = jnp.transpose(Rp, (2, 0, 1))
-        Q1 = jnp.transpose(Q1p, (2, 0, 1))
+        # ladybug program; see householder_qr3_planar). Row-chunked:
+        # the [L, m, 3] transpose back is (8,128)-tile-padded when
+        # materialized (~4 GB at a final-13682 2M-row bucket)
+        def qr_chunk(ts, n=n):
+            jl_c = ts[0]
+            Lc = jl_c.shape[0]
+            Jl2p = jl_c.T.reshape(2 * n, 3, Lc)
+            dampp = jnp.sqrt(lam).astype(dtype) * jnp.broadcast_to(
+                jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, Lc))
+            augp = jnp.concatenate([Jl2p, dampp], axis=0)
+            Rp, Q1p = householder_qr3_planar(augp)
+            R_c = jnp.transpose(Rp, (2, 0, 1))
+            q = jnp.transpose(Q1p[:2 * n], (2, 0, 1)).reshape(
+                Lc, n * 6)
+            return R_c, q
+
+        R, Q1h_b = _map_rows(qr_chunk, [jl_b], L, n)
         Rs.append(R)
         # materialize each bucket's Q1h once: it feeds several
         # consumers (RHS projection, RCS assembly, CG matvec) and XLA
         # otherwise duplicates the whole QR into each fusion (~3x
         # stage2 cost, benchmarks/rcs_assemble_bench.py)
-        Q1h_parts.append(jax.lax.optimization_barrier(
-            Q1[:, :2 * n, :].reshape(L, n * 6)))
+        Q1h_parts.append(jax.lax.optimization_barrier(Q1h_b))
     Q1h = tuple(Q1h_parts)
 
     # RHS: Jp^T (r - Q1h Q1h^T r), all 2-D per bucket, row-chunked
