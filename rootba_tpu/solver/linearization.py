@@ -604,6 +604,116 @@ def cam_gram_strips(terms, buckets, strips: CamStripsIndex) -> jnp.ndarray:
 
 
 
+
+def _ww_sandwich_U(q1, q2, p1):
+    """Per-slot U = (q1 q2')' p1 for the W'W sandwich (see
+    sqrt_ww_pair_strips): q1/q2 [rows, 6] Q1h slot strips (2 residual
+    rows x 3 landmark cols, r-major), p1 [rows, 18] Jp strips (2 rows
+    x 9, r-major). Returns [rows, 18] slot-major U with
+    u_s = sum_r M[r, s] p1_r,  M = q1 q2' (2x2). All 2-D elementwise."""
+    m00 = jnp.sum(q1[:, :3] * q2[:, :3], axis=1)[:, None]
+    m01 = jnp.sum(q1[:, :3] * q2[:, 3:], axis=1)[:, None]
+    m10 = jnp.sum(q1[:, 3:] * q2[:, :3], axis=1)[:, None]
+    m11 = jnp.sum(q1[:, 3:] * q2[:, 3:], axis=1)[:, None]
+    u0 = m00 * p1[:, :9] + m10 * p1[:, 9:]
+    u1 = m01 * p1[:, :9] + m11 * p1[:, 9:]
+    return jnp.concatenate([u0, u1], axis=1)
+
+
+def sqrt_ww_pair_strips(q_tabs, jp_tabs, buckets,
+                        strips: PairStripsIndex) -> jnp.ndarray:
+    """Pair blocks sum W_i' W_j of the sqrt RCS WITHOUT materializing
+    W = Q1h'Jp: per pair slot,
+
+        W_i' W_j = Jp_i' (Q1h_i Q1h_j') Jp_j
+
+    -- a 2x2 sandwich M = Q1h_i Q1h_j' on the VPU, then one run-folded
+    MXU pass (_outer81_fold) of U = M' Jp_i against Jp_j. This is the
+    LARGE-problem assembly mode: it trades 2x the slot gathers (Q1h +
+    Jp rows instead of one W row; measured 13% slower at venice) for
+    never holding the [sum L, n*27] W tables -- 3.6 GB at final-13682,
+    the difference between its assembly fitting 16 GB HBM and a
+    runtime OOM (measured).
+
+    q_tabs / jp_tabs: per-bucket [L, n*6] / [L, n*18] tables (the
+    strips index must be leftover-free, i.e. built with min_group=0).
+    Returns [P, 81] in the same pair order as csr_pair_outer_strips."""
+    if strips.wi_idx.shape[0]:
+        raise ValueError("sqrt_ww_pair_strips requires a leftover-free "
+                         "strips index (min_group=0)")
+    rows_parts = []
+    for g in range(len(strips.group_bucket)):
+        bi = strips.group_bucket[g]
+        i, j = strips.group_i[g], strips.group_j[g]
+        L, n = buckets[bi].cam_idx.shape
+        lm = strips.lm_idx[g]
+        sw = strips.swap[g]
+        tq = q_tabs[bi]
+        tj = jp_tabs[bi]
+
+        gsz = lm.shape[0]
+        chunk = max(PAIR_WIDTH,
+                    min(gsz, _PAIR_CHUNK_BYTES // (n * 24 * 4)))
+        chunk = chunk // PAIR_WIDTH * PAIR_WIDTH
+        npad = -(-gsz // chunk) * chunk
+        if npad != gsz:
+            lm = jnp.concatenate(
+                [lm, jnp.full((npad - gsz,), L, jnp.int32)])
+            sw = jnp.concatenate(
+                [sw, jnp.zeros((npad - gsz,), bool)])
+
+        def one(args, i=i, j=j, tq=tq, tj=tj):
+            lm_c, sw_c = args
+            gq = jnp.take(tq, lm_c, axis=0, mode="fill",
+                          fill_value=0.0)
+            gj = jnp.take(tj, lm_c, axis=0, mode="fill",
+                          fill_value=0.0)
+            qi = gq[:, i * 6:(i + 1) * 6]
+            qj = gq[:, j * 6:(j + 1) * 6]
+            ji = gj[:, i * 18:(i + 1) * 18]
+            jj = gj[:, j * 18:(j + 1) * 18]
+            # canonical order: first side on the lower camera id
+            q1 = jnp.where(sw_c[:, None], qj, qi)
+            q2 = jnp.where(sw_c[:, None], qi, qj)
+            p1 = jnp.where(sw_c[:, None], jj, ji)
+            p2 = jnp.where(sw_c[:, None], ji, jj)
+            U = _ww_sandwich_U(q1, q2, p1)
+            return _outer81_fold(U, p2, PAIR_WIDTH)
+
+        nch = npad // chunk
+        if nch == 1:
+            rows_g = one((lm, sw))
+        else:
+            rows_g = jax.lax.map(
+                one, (lm.reshape(nch, chunk),
+                      sw.reshape(nch, chunk))
+            ).reshape(npad // PAIR_WIDTH, 81)
+        rows_parts.append(rows_g[:gsz // PAIR_WIDTH])
+
+    rows = (rows_parts[0] if len(rows_parts) == 1
+            else jnp.concatenate(rows_parts, axis=0))
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((1, 81), rows.dtype)], axis=0)
+    return _level2_reduce(rows, strips.idx2)  # [P, 81]
+
+
+def sqrt_ww_diag_strips(q_tabs, jp_tabs, buckets,
+                        strips: CamStripsIndex) -> jnp.ndarray:
+    """Per-camera diagonal blocks Jp'Jp - W'W of the sqrt RCS without
+    materializing W (same sandwich as sqrt_ww_pair_strips with i = j):
+    returns [N, 81]."""
+
+    def row_fn_runs(slices, width):
+        q, p = slices
+        U = _ww_sandwich_U(q, q, p)
+        return (_outer81_fold(p, p, width)
+                - _outer81_fold(U, p, width))
+
+    return _strip_run_rows(buckets, strips, [q_tabs, jp_tabs], None,
+                           81, row_fn_runs=row_fn_runs)
+
+
+
 class BsrMatvecIndex(NamedTuple):
     """Device copy of bucketing.BsrMatvec (see its docstring)."""
 
@@ -621,7 +731,8 @@ class BsrMatvecIndex(NamedTuple):
 
 def assemble_rcs_bsr(strip_a, strip_b, diag_terms, cam_flat, csr,
                      pairs, lam, num_cameras, buckets=None,
-                     cam_strips=None, pose_scale=None):
+                     cam_strips=None, pose_scale=None,
+                     pair_rows=None, diag81=None):
     """Block-sparse RCS assembly: the same per-pair / per-camera
     gather-reduces as assemble_rcs_dense, WITHOUT the densify -- for
     problems whose dense [9G, 9G] system exceeds HBM (60 GB at
@@ -641,12 +752,16 @@ def assemble_rcs_bsr(strip_a, strip_b, diag_terms, cam_flat, csr,
     N = num_cameras
     lam = lam.astype(dtype)
 
-    if isinstance(pairs, PairStripsIndex):
+    if pair_rows is not None:
+        Hup = pair_rows
+    elif isinstance(pairs, PairStripsIndex):
         Hup = csr_pair_outer_strips(strip_a, strip_b, buckets, pairs)
     else:
         Hup = csr_pair_outer(strip_a, strip_b, pairs)  # [P, 81]
 
-    if cam_strips is not None:
+    if diag81 is not None:
+        pass
+    elif cam_strips is not None:
         diag81 = cam_gram_strips(diag_terms, buckets, cam_strips)
     elif csr is not None:
         view = _SelfPairView.of(csr)
@@ -746,7 +861,8 @@ class _SelfPairView(NamedTuple):
 
 def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
                        pairs, lam, num_cameras, buckets=None,
-                       cam_strips=None, pose_scale=None):
+                       cam_strips=None, pose_scale=None,
+                       pair_rows=None, diag81=None):
     """Dense [9N, 9N] reduced camera system from per-obs factors:
 
         H = sum over a camera's obs of (sum_terms sign * A_i' B_i)
@@ -771,12 +887,16 @@ def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
     N = num_cameras
     lam = lam.astype(dtype)
 
-    if isinstance(pairs, PairStripsIndex):
+    if pair_rows is not None:
+        Hup = pair_rows
+    elif isinstance(pairs, PairStripsIndex):
         Hup = csr_pair_outer_strips(strip_a, strip_b, buckets, pairs)
     else:
         Hup = csr_pair_outer(strip_a, strip_b, pairs)  # [P, 81]
 
-    if cam_strips is not None:
+    if diag81 is not None:
+        pass
+    elif cam_strips is not None:
         diag81 = cam_gram_strips(diag_terms, buckets, cam_strips)
     elif csr is not None:
         view = _SelfPairView.of(csr)

@@ -401,6 +401,13 @@ def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, cam_flat, pairs,
     """
     from rootba_tpu.solver.linearization import assemble_rcs_dense
 
+    Hup, diag81 = _sandwich_rows(lin, stage2, buckets, pairs,
+                                 cam_strips)
+    if Hup is not None:
+        return assemble_rcs_dense(
+            lin.Jp, lin.Jp, None, cam_flat, csr, pairs, stage2.lam,
+            num_cameras, buckets=buckets, cam_strips=cam_strips,
+            pose_scale=lin.pose_scale, pair_rows=Hup, diag81=diag81)
     Wa, Wb, terms = _rcs_factors(lin, stage2, buckets, pairs,
                                  cam_strips)
     return assemble_rcs_dense(
@@ -418,12 +425,53 @@ def flat_assemble_rcs_bsr(lin: FlatLin, stage2: FlatStage2, cam_flat,
     of blocks). Returns (blocks2 [2P,81], diag [N,9,9])."""
     from rootba_tpu.solver.linearization import assemble_rcs_bsr
 
+    Hup, diag81 = _sandwich_rows(lin, stage2, buckets, pairs,
+                                 cam_strips)
+    if Hup is not None:
+        return assemble_rcs_bsr(
+            lin.Jp, lin.Jp, None, cam_flat, csr, pairs, stage2.lam,
+            num_cameras, buckets=buckets, cam_strips=cam_strips,
+            pose_scale=lin.pose_scale, pair_rows=Hup, diag81=diag81)
     Wa, Wb, terms = _rcs_factors(lin, stage2, buckets, pairs,
                                  cam_strips)
     return assemble_rcs_bsr(
         Wa, Wb, terms, cam_flat, csr, pairs, stage2.lam, num_cameras,
         buckets=buckets, cam_strips=cam_strips,
         pose_scale=lin.pose_scale)
+
+
+# above this many obs slots, the explicit-RCS assembly switches to the
+# W-free sandwich form (sqrt_ww_pair_strips): holding the [sum L, n*27]
+# W tables costs 108 B/slot of HBM (3.6 GB at final-13682 = a measured
+# runtime OOM) while the sandwich trades them for a second slot gather
+# (13% slower at venice scale). Module global so tests can force the
+# path at toy size.
+_SANDWICH_MIN_SLOTS = 16_000_000
+
+
+def _sandwich_rows(lin, stage2, buckets, pairs, cam_strips):
+    """W-free pair/diag rows for the sqrt RCS assembly (see
+    linearization.sqrt_ww_pair_strips): used when the strip indices
+    are leftover-free AND the problem is past _SANDWICH_MIN_SLOTS.
+    Returns (Hup [P,81], diag81 [N,81]) or (None, None)."""
+    from rootba_tpu.solver.linearization import (
+        PairStripsIndex,
+        sqrt_ww_diag_strips,
+        sqrt_ww_pair_strips,
+    )
+
+    parts = (cam_strips is not None
+             and cam_strips.wi_idx.shape[0] == 0
+             and isinstance(pairs, PairStripsIndex)
+             and pairs.wi_idx.shape[0] == 0)
+    slots = sum(b.cam_idx.shape[0] * b.cam_idx.shape[1]
+                for b in buckets)
+    if not parts or slots < _SANDWICH_MIN_SLOTS:
+        return None, None
+    Hup = sqrt_ww_pair_strips(stage2.Q1h, lin.Jp, buckets, pairs)
+    diag81 = sqrt_ww_diag_strips(stage2.Q1h, lin.Jp, buckets,
+                                 cam_strips)
+    return Hup, diag81
 
 
 def _rcs_factors(lin: FlatLin, stage2: FlatStage2, buckets, pairs,

@@ -685,3 +685,22 @@ def test_diagonal_preconditioner(synthetic_problem):
                         solver_type=SolverType.SCHUR_COMPLEMENT, **tight)
     np.testing.assert_allclose(got_sc[2], ref_sc[2], **tol,
                                err_msg="increment (sc diagonal)")
+
+
+def test_sandwich_assembly_equivalence(synthetic_problem, dtype,
+                                       monkeypatch):
+    """The W-free sandwich assembly (sqrt_ww_pair_strips; the
+    final-13682 HBM mode, forced at toy size) == the W-table path."""
+    from rootba_tpu.solver import sqrt_flat as sf
+
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pallas_cg="off", strip_min_group=0)
+    monkeypatch.setattr(sf, "_SANDWICH_MIN_SLOTS", 1)
+    got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pallas_cg="off", strip_min_group=0)
+    rtol = 2e-3 if dtype.itemsize == 4 else 1e-10
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (sandwich assembly)")
