@@ -58,6 +58,48 @@ class CamCsrIndex(NamedTuple):
     idx2: jnp.ndarray  # [N, vmax] int32
 
 
+# per-chunk obs-slot budget for _map_rows: transient narrow arrays
+# ([rows, <128]) lane-pad to 128, so a chunk costs up to
+# rows*128*4 B of transient HBM (~130 MB at this budget)
+_ROW_CHUNK_SLOTS = 262_144
+
+
+def _map_rows(f, tables, L, n, budget_slots=None):
+    """Apply f(list of [Lc, *] tables) -> pytree of [Lc, *] outputs
+    over landmark-row chunks of a bucket's tables under lax.map.
+
+    Sequentializes the chain so only ONE chunk's transients are live:
+    XLA otherwise schedules many buckets' fusions concurrently and
+    their lane-padded narrow intermediates ([rows, 3/9] -> 128 lanes)
+    coexist -- 70 GB at final-13682 before chunking."""
+    if budget_slots is None:
+        # resolved at call time so tests can shrink the module global
+        # and force the chunked path on toy problems (VERDICT r2 item 5)
+        budget_slots = _ROW_CHUNK_SLOTS
+    budget_rows = max(8, (budget_slots // max(n, 1)) // 8 * 8)
+    if L <= budget_rows:
+        return f(tables)
+    # no zero-pad copies: padding each input table to a chunk multiple
+    # duplicates it in HBM (measured 1.5-2 GB of pad.clone temps at
+    # final-13682, the difference between fitting and OOM). The
+    # divisible prefix runs under lax.map; the remainder is one direct
+    # tail call (leading-axis slice + reshape are layout-preserving).
+    C0 = L // budget_rows
+    main = C0 * budget_rows
+    stacked = tuple(
+        t[:main].reshape((C0, budget_rows) + t.shape[1:])
+        for t in tables)
+    out = jax.lax.map(lambda ts: f(list(ts)), stacked)
+    out = jax.tree_util.tree_map(
+        lambda o: o.reshape((main,) + o.shape[2:]), out)
+    if main == L:
+        return out
+    out_tail = f([t[main:] for t in tables])
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), out, out_tail)
+
+
+
 # per-chunk gather budget for _level2_reduce (module global so tests
 # can shrink it and force the lax.map-chunked path on toy problems)
 _LEVEL2_CHUNK_BYTES = 16 << 20
@@ -1088,22 +1130,49 @@ def compute_error_buckets(
     table = packed_cam_table(cams)
     for lm_p, bucket in zip(lm_ps, buckets):
         L, n = bucket.cam_idx.shape
-        idx = bucket.cam_idx.reshape(-1)
-        X = jnp.broadcast_to(lm_p[:, 0:1], (L, n)).reshape(-1)
-        Y = jnp.broadcast_to(lm_p[:, 1:2], (L, n)).reshape(-1)
-        Z = jnp.broadcast_to(lm_p[:, 2:3], (L, n)).reshape(-1)
-        res_u, res_v, valid, _, _ = snavely_planes(
-            *gather_cam_planes(table, idx),
-            X, Y, Z,
-            bucket.obs_uv[..., 0].reshape(-1),
-            bucket.obs_uv[..., 1].reshape(-1),
-            with_jacobians=False)
-        res = jnp.stack([res_u, res_v], axis=-1)
-        info = join_residual_info(
-            info,
-            accumulate_residual_info(
-                res, valid, bucket.mask.reshape(-1), robust_norm,
-                huber_parameter
-            ),
-        )
+
+        # row-chunked like every other 33.6M-slot chain (the ~10
+        # residual-plane transients of all buckets otherwise coexist;
+        # part of the final-13682 HBM envelope)
+        def err_chunk(ts, n=n):
+            lmp_c, cam_c, uv_c, mask_c = ts
+            Lc = cam_c.shape[0]
+            idx = cam_c.reshape(-1)
+            X = jnp.broadcast_to(lmp_c[:, 0:1], (Lc, n)).reshape(-1)
+            Y = jnp.broadcast_to(lmp_c[:, 1:2], (Lc, n)).reshape(-1)
+            Z = jnp.broadcast_to(lmp_c[:, 2:3], (Lc, n)).reshape(-1)
+            res_u, res_v, valid, _, _ = snavely_planes(
+                *gather_cam_planes(table, idx), X, Y, Z,
+                uv_c[..., 0].reshape(-1), uv_c[..., 1].reshape(-1),
+                with_jacobians=False)
+            res = jnp.stack([res_u, res_v], axis=-1)
+            return accumulate_residual_info(
+                res, valid, mask_c.reshape(-1), robust_norm,
+                huber_parameter)
+
+        tables = [lm_p, bucket.cam_idx, bucket.obs_uv, bucket.mask]
+        budget_rows = max(8, (_ROW_CHUNK_SLOTS // max(n, 1)) // 8 * 8)
+        if L <= budget_rows:
+            info = join_residual_info(info, err_chunk(tables))
+            continue
+        C0 = L // budget_rows
+        main = C0 * budget_rows
+        stacked = tuple(
+            t[:main].reshape((C0, budget_rows) + t.shape[1:])
+            for t in tables)
+        accs = jax.lax.map(lambda ts: err_chunk(list(ts)), stacked)
+        from rootba_tpu.core.residuals import ResidualItem
+
+        def sum_item(it):
+            return ResidualItem(
+                num_obs=jnp.sum(it.num_obs, axis=0),
+                error=jnp.sum(it.error, axis=0),
+                residual_sum=jnp.sum(it.residual_sum, axis=0))
+
+        info = join_residual_info(info, ResidualInfo(
+            all=sum_item(accs.all), valid=sum_item(accs.valid),
+            is_numerically_valid=jnp.all(accs.is_numerically_valid)))
+        if main != L:
+            info = join_residual_info(
+                info, err_chunk([t[main:] for t in tables]))
     return info

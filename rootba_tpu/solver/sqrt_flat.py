@@ -46,6 +46,7 @@ from rootba_tpu.solver.cg import pcg
 from rootba_tpu.solver.linearization import (
     POSE_SIZE,
     CamState,
+    _map_rows,
     csr_cam_reduce,
     gather_cam_planes,
     packed_cam_table,
@@ -99,47 +100,6 @@ def _bucket_offsets(buckets):
         L, n = b.cam_idx.shape
         offs.append(offs[-1] + L * n)
     return offs
-
-
-# per-chunk obs-slot budget for _map_rows: transient narrow arrays
-# ([rows, <128]) lane-pad to 128, so a chunk costs up to
-# rows*128*4 B of transient HBM (~130 MB at this budget)
-_ROW_CHUNK_SLOTS = 262_144
-
-
-def _map_rows(f, tables, L, n, budget_slots=None):
-    """Apply f(list of [Lc, *] tables) -> pytree of [Lc, *] outputs
-    over landmark-row chunks of a bucket's tables under lax.map.
-
-    Sequentializes the chain so only ONE chunk's transients are live:
-    XLA otherwise schedules many buckets' fusions concurrently and
-    their lane-padded narrow intermediates ([rows, 3/9] -> 128 lanes)
-    coexist -- 70 GB at final-13682 before chunking."""
-    if budget_slots is None:
-        # resolved at call time so tests can shrink the module global
-        # and force the chunked path on toy problems (VERDICT r2 item 5)
-        budget_slots = _ROW_CHUNK_SLOTS
-    budget_rows = max(8, (budget_slots // max(n, 1)) // 8 * 8)
-    if L <= budget_rows:
-        return f(tables)
-    # no zero-pad copies: padding each input table to a chunk multiple
-    # duplicates it in HBM (measured 1.5-2 GB of pad.clone temps at
-    # final-13682, the difference between fitting and OOM). The
-    # divisible prefix runs under lax.map; the remainder is one direct
-    # tail call (leading-axis slice + reshape are layout-preserving).
-    C0 = L // budget_rows
-    main = C0 * budget_rows
-    stacked = tuple(
-        t[:main].reshape((C0, budget_rows) + t.shape[1:])
-        for t in tables)
-    out = jax.lax.map(lambda ts: f(list(ts)), stacked)
-    out = jax.tree_util.tree_map(
-        lambda o: o.reshape((main,) + o.shape[2:]), out)
-    if main == L:
-        return out
-    out_tail = f([t[main:] for t in tables])
-    return jax.tree_util.tree_map(
-        lambda a, b: jnp.concatenate([a, b], axis=0), out, out_tail)
 
 
 def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,

@@ -536,12 +536,12 @@ def test_row_chunked_chains_equivalence(synthetic_problem, dtype,
                                         monkeypatch):
     """sqrt_flat._map_rows row-chunking (active only above 262k/n rows
     in production, i.e. final-scale) == the unchunked chains."""
-    from rootba_tpu.solver import sqrt_flat
+    from rootba_tpu.solver import linearization as lz
 
     bp = bucketize(synthetic_problem, pow2_from=9)
     ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
                      pallas_cg="off")
-    monkeypatch.setattr(sqrt_flat, "_ROW_CHUNK_SLOTS", 64)
+    monkeypatch.setattr(lz, "_ROW_CHUNK_SLOTS", 64)
     got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
                      pallas_cg="off")
     rtol = 1e-4 if dtype.itemsize == 4 else 1e-10
@@ -704,3 +704,26 @@ def test_sandwich_assembly_equivalence(synthetic_problem, dtype,
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
             err_msg=f"component {i} (sandwich assembly)")
+
+
+def test_chunked_error_eval_equivalence(synthetic_problem, monkeypatch):
+    """compute_error_buckets' row-chunked path (final-13682 HBM
+    envelope) == the unchunked evaluation, bit-for-bit in f64."""
+    from rootba_tpu.solver import linearization as lz
+    from rootba_tpu.solver.lm import create_linearizer
+
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    opts = SolverOptions(use_double=True)
+    lin = create_linearizer(bp, opts, np.float64)
+    st = initial_state(bp, jnp.float64)
+    ref = lin._error_fn(lin.consts, st.cams, st.lm_ps)
+    monkeypatch.setattr(lz, "_ROW_CHUNK_SLOTS", 64)
+    lin2 = create_linearizer(bp, opts, np.float64)
+    got = lin2._error_fn(lin2.consts, st.cams, st.lm_ps)
+    for f in ("all", "valid"):
+        a, b = getattr(ref, f), getattr(got, f)
+        assert int(a.num_obs) == int(b.num_obs)
+        np.testing.assert_allclose(float(b.error), float(a.error),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(float(b.residual_sum),
+                                   float(a.residual_sum), rtol=1e-12)
