@@ -60,8 +60,10 @@ class CamCsrIndex(NamedTuple):
 
 # per-chunk obs-slot budget for _map_rows: transient narrow arrays
 # ([rows, <128]) lane-pad to 128, so a chunk costs up to
-# rows*128*4 B of transient HBM (~130 MB at this budget)
-_ROW_CHUNK_SLOTS = 262_144
+# rows*128*4 B of transient HBM (~65 MB at this budget; venice
+# measured chunk-granularity-insensitive, and final-13682 needs the
+# headroom)
+_ROW_CHUNK_SLOTS = 131_072
 
 
 def _map_rows(f, tables, L, n, budget_slots=None):

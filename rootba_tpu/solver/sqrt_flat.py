@@ -669,6 +669,13 @@ class FlatSqrtLinearizer(LinearizerBase):
         # as the pair strips; see bucketing.CamStrips) for the RHS /
         # diagonal-block / diag2 per-camera reductions
         cstrips = None
+        # leftover-free strips + BSR never touch the CamCsr fallback;
+        # dropping it saves its [~O]-sized device index tables
+        # (~0.3 GB at final-13682, part of the HBM envelope)
+        if (bsr_mode and opts.pair_gather == "strips"
+                and opts.effective_strip_min_group(
+                    self.bp.num_observations) == 0):
+            self.cam_csr = None
         if (explicit or bsr_mode) and opts.pair_gather == "strips":
             from rootba_tpu.bal.bucketing import build_cam_strips
             from rootba_tpu.solver.linearization import CamStripsIndex
