@@ -235,6 +235,15 @@ class SolverOptions:
                 "dispatches to calibrate the per-stage time fractions "
                 "used to attribute the fused attempts' totals "
                 "(0 disables calibration)")
+    defer_stage_sync: bool = opt(
+        True, help="host LM loop with host_fused_attempt: pipeline the "
+                   "stage1/stage2/attempt dispatches without "
+                   "intermediate host syncs (each saves one tunnel "
+                   "round trip per LM iteration; ~25-50 ms each on a "
+                   "tunneled TPU). Per-stage times then come only from "
+                   "the periodic calibration attempts; numerical-"
+                   "failure checks move to the attempt sync. Set false "
+                   "to sync and time every stage dispatch separately")
     num_devices: int = opt(
         0, help="number of devices to shard landmark blocks over (0 = all)")
     checkpoint_path: str = opt(

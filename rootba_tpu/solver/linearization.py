@@ -353,16 +353,28 @@ def _outer81_fold(s1: jnp.ndarray, s2: jnp.ndarray,
         out[r, a*9+b] = sum_{s in run r} sum_k s1[s, k*9+a] s2[s, k*9+b]
 
     s1/s2 are slot-major [rows, K*9] strips (rows a multiple of
-    `width`); one batched dot_general contracts the width*K axis per
-    run. Measured 3.9x the strictly-2-D VPU repeat/tile chain at
-    venice scale (benchmarks; 2.56M slots: 116 -> 30 ms), and folds
-    the run sum into the same MXU pass. HIGHEST precision keeps it
-    f32-exact (max rel err 2.6e-7 vs the elementwise chain)."""
-    r1 = s1.reshape(s1.shape[0] // width, -1, 9)
-    r2 = s2.reshape(s2.shape[0] // width, -1, 9)
-    out = jax.lax.dot_general(
+    `width`). Lowered as the wide-N batched dot_general
+
+        [R, width, K*9]^T [R, width, K*9] -> [R, K*9, K*9]
+
+    then summing the K diagonal 9x9 blocks: vs contracting the
+    width*K axis with N=9 (the round-2 form), the [R, width, K9]
+    operand lane-pads K9 -> 128 once instead of the [R, width*K, 9]
+    operand padding 9 -> 128 (3x the operand bytes) -- measured
+    30.0 -> 23.2 ms per 2.56M K=3 slots on v5e
+    (benchmarks/fold_variants.py). HIGHEST precision keeps it
+    f32-exact (max rel err 2.5e-7 vs the elementwise chain). Still
+    ~4x the VPU repeat/tile chain it replaced in round 2."""
+    K9 = s1.shape[1]
+    K = K9 // 9
+    r1 = s1.reshape(s1.shape[0] // width, width, K9)
+    r2 = s2.reshape(s2.shape[0] // width, width, K9)
+    wide = jax.lax.dot_general(
         r1, r2, (((1,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST)
+        precision=jax.lax.Precision.HIGHEST)  # [R, K9, K9]
+    out = wide[:, 0:9, 0:9]
+    for k in range(1, K):
+        out = out + wide[:, k * 9:(k + 1) * 9, k * 9:(k + 1) * 9]
     return out.reshape(out.shape[0], 81)
 
 

@@ -162,6 +162,10 @@ class LinearizerBase:
         self.it_summary: Optional[IterationSummary] = None
         self.summary: Optional[SolverSummary] = None
         self._attempt_idx = -1
+        # deferred stage1 failure count (device scalar) when the
+        # linearize dispatch was not synced (defer_stage_sync); checked
+        # at the next attempt/solve sync
+        self._pending_failures = None
         # fused-attempt starting mode: the one-dispatch attempt program
         # is the same scale as the fused-loop body, so the same obs
         # threshold applies -- above it the compile service gets
@@ -371,6 +375,7 @@ class LinearizerBase:
             self._attempt_fn(self.consts, self.state.cams,
                              self.state.lm_ps, self._lins,
                              self._pose_scale, lam_arr))
+        self._consume_failures()
         dt = time.monotonic() - t0
         self._attempt_timing(dt, cg_iters, cg_term,
                              ("prepare", "lsolve", "bsub", "err"))
@@ -406,16 +411,26 @@ class LinearizerBase:
 
         t0 = time.monotonic()
         lam_arr = self._scalar(lam)
-        aux = sync(self._stage2_fn(self.consts, self._lins, lam_arr))
+        defer = self._defer_sync()
+        aux = self._stage2_fn(self.consts, self._lins, lam_arr)
+        if not defer:
+            aux = sync(aux)
         t1 = time.monotonic()
         cams2, lm_ps2, l_diff, ri2, cg_iters, cg_term, inc_finite = sync(
             self._attempt2_fn(self.consts, self.state.cams,
                               self.state.lm_ps, self._lins,
                               self._pose_scale, aux))
-        dt2 = time.monotonic() - t1
-        self._attempt_timing(dt2, cg_iters, cg_term,
-                             ("lsolve", "bsub", "err"),
-                             measured={"prepare": t1 - t0})
+        self._consume_failures()
+        if defer:
+            # stage2 + attempt pipelined as two un-synced dispatches:
+            # attribute the combined wall time like the full mode
+            self._attempt_timing(time.monotonic() - t0, cg_iters,
+                                 cg_term,
+                                 ("prepare", "lsolve", "bsub", "err"))
+        else:
+            self._attempt_timing(time.monotonic() - t1, cg_iters,
+                                 cg_term, ("lsolve", "bsub", "err"),
+                                 measured={"prepare": t1 - t0})
         if self.summary is not None:
             self.summary.num_linear_solves += 1
             self.summary.num_residual_evaluations += 1
@@ -451,21 +466,55 @@ class LinearizerBase:
         return new_state, float(l_diff), ri2, inc_finite
 
     # -- host-driven stage dispatches (shared by all linearizers) ------
-    def linearize(self):
-        t0 = time.monotonic()
-        lins, pose_scale, failures = sync(
-            self._stage1_fn(self.consts, self.state.cams,
-                            self.state.lm_ps))
-        if int(failures) > 0:
+    def _defer_sync(self) -> bool:
+        """True when stage dispatches should pipeline without
+        intermediate host syncs (defer_stage_sync): per-stage timing
+        then comes from the periodic calibration attempts, so don't
+        defer right before one (the next attempt calibrates exactly
+        when the attempt counter hits the interval)."""
+        if not (self.options.defer_stage_sync
+                and self.options.host_fused_attempt):
+            return False
+        interval = max(self.options.timing_calibration_interval, 0)
+        return not (interval
+                    and (self._attempt_idx + 1) % interval == 0)
+
+    def _consume_failures(self):
+        """Deferred stage1 numerical-failure check (the sync that would
+        have read it was skipped; by the time any attempt result is
+        synced the count is computed, so this read is free)."""
+        if self._pending_failures is None:
+            return
+        failures = int(self._pending_failures)
+        self._pending_failures = None
+        if failures > 0:
             raise FloatingPointError(
                 f"numerical failure during linearization "
-                f"({int(failures)} observations)")
+                f"({failures} observations)")
+
+    def linearize(self):
+        t0 = time.monotonic()
+        lins, pose_scale, failures = self._stage1_fn(
+            self.consts, self.state.cams, self.state.lm_ps)
+        if self._defer_sync():
+            # no sync: the dispatch overlaps the following stage2 /
+            # attempt submission and the failure check happens at
+            # their sync (one tunnel round trip saved per iteration)
+            self._pending_failures = failures
+        else:
+            sync(failures)
+            if int(failures) > 0:
+                raise FloatingPointError(
+                    f"numerical failure during linearization "
+                    f"({int(failures)} observations)")
+            sync(lins)
+            if self.it_summary is not None:
+                self.it_summary.stage1_time_in_seconds = (
+                    time.monotonic() - t0)
+                self.it_summary.jacobian_evaluation_time_in_seconds = (
+                    self.it_summary.stage1_time_in_seconds)
         self._lins = lins
         self._pose_scale = pose_scale
-        if self.it_summary is not None:
-            self.it_summary.stage1_time_in_seconds = time.monotonic() - t0
-            self.it_summary.jacobian_evaluation_time_in_seconds = (
-                self.it_summary.stage1_time_in_seconds)
         if self.summary is not None:
             self.summary.num_jacobian_evaluations += 1
 
@@ -476,6 +525,7 @@ class LinearizerBase:
         t0 = time.monotonic()
         lam_arr = self._scalar(lam)
         aux = sync(self._stage2_fn(self.consts, self._lins, lam_arr))
+        self._consume_failures()
         t1 = time.monotonic()
         inc, stage2, cg_iters, cg_term = sync(
             self._lsolve_fn(self.consts, self._lins, aux))

@@ -445,13 +445,26 @@ def _rcs_factors(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
     27 -> 128 (17.2 GB at final-13682; see csr_pair_outer_strips)."""
     from rootba_tpu.solver.linearization import PairStripsIndex
 
+    from rootba_tpu.ops.pallas_fold import (
+        w_build_available,
+        w_build_table,
+    )
+
     parts = (cam_strips is not None
              and cam_strips.wi_idx.shape[0] == 0
              and isinstance(pairs, PairStripsIndex)
              and pairs.wi_idx.shape[0] == 0)
+    use_pallas = w_build_available(lin.Jp[0].dtype)
     Wp = []
     for bucket, q_b, jp_b in zip(buckets, stage2.Q1h, lin.Jp):
         L, n = bucket.cam_idx.shape
+
+        if use_pallas:
+            # whole chain in VMEM (no lane-padded repeat/tile
+            # intermediates): measured 106 -> 29 ms across the venice
+            # buckets (ops/pallas_fold.py)
+            Wp.append(w_build_table(q_b, jp_b, n))
+            continue
 
         # W[o, c*9+a] = sum_r Q1h[o,r*3+c] Jp[o,r*9+a], as a strictly
         # 2-D elementwise chain (rank-3 [*, 3, 9] values get

@@ -1,0 +1,37 @@
+"""Equivalence tests for the Pallas VMEM kernels (ops/pallas_fold.py),
+run in interpreter mode on CPU (the TPU lowering is exercised by the
+benchmarks; the kernel math must match the 2-D elementwise chains
+bit-for-... well, to float reassociation).
+
+Mirrors the reference's dual-path equivalence discipline
+(solver_options.hpp:266 reduction_alg cross-checks).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rootba_tpu.ops.pallas_fold import w_build_table
+
+
+def w_ref(q_tab, jp_tab, n):
+    L = q_tab.shape[0]
+    qf = q_tab.reshape(L * n, 6)
+    jpf = jp_tab.reshape(L * n, 18)
+    W27 = (jnp.repeat(qf[:, :3], 9, axis=1)
+           * jnp.tile(jpf[:, :9], (1, 3))
+           + jnp.repeat(qf[:, 3:], 9, axis=1)
+           * jnp.tile(jpf[:, 9:], (1, 3)))
+    return W27.reshape(L, n * 27)
+
+
+@pytest.mark.parametrize("n,L", [(2, 7), (3, 64), (5, 129), (8, 40),
+                                 (16, 9), (32, 3)])
+def test_w_build_matches_elementwise(n, L):
+    rng = np.random.default_rng(n * 100 + L)
+    q = jnp.asarray(rng.standard_normal((L, n * 6)), jnp.float32)
+    jp = jnp.asarray(rng.standard_normal((L, n * 18)), jnp.float32)
+    ref = np.asarray(w_ref(q, jp, n))
+    out = np.asarray(w_build_table(q, jp, n, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
