@@ -65,7 +65,23 @@ def time_to_threshold_row(summary, tau=TAU):
     return float("inf"), thresh
 
 
-def run_problem(name, solver="SQUARE_ROOT", iters=20):
+def protocol_overrides(solver):
+    """The CVPR'21/PoBA-paper benchmark protocol knobs beyond dataset
+    preprocessing (which make_problem already applies): Huber 1 px,
+    eta = 0.01, and power_order = 20 for the PoBA rows
+    (/root/reference/examples/batch/poba_batch_config.toml:52,398-412,
+    combination `maxorderpower20`; docs/Configuration.md:275-341)."""
+    from rootba_tpu.config.options import BalResidualOptions, RobustNorm
+
+    ov = {"residual": BalResidualOptions(robust_norm=RobustNorm.HUBER,
+                                         huber_parameter=1.0),
+          "eta": 0.01}
+    if solver == "POWER_SCHUR_COMPLEMENT":
+        ov["power_order"] = 20
+    return ov
+
+
+def run_problem(name, solver="SQUARE_ROOT", iters=20, overrides=None):
     import jax
     import jax.numpy as jnp
 
@@ -78,7 +94,9 @@ def run_problem(name, solver="SQUARE_ROOT", iters=20):
     opts = SolverOptions(
         use_double=False, max_num_iterations=iters,
         function_tolerance=0.0, verbosity_level=0,
-        solver_type=SolverType[solver])
+        solver_type=SolverType[solver],
+        **(overrides if overrides is not None
+           else protocol_overrides(solver)))
 
     # setup once: bucketize + build the linearizer (host-side index
     # construction). The timed run below reuses the SAME linearizer
@@ -141,6 +159,10 @@ def run_problem(name, solver="SQUARE_ROOT", iters=20):
                                         else None),
         "cost_threshold": round(thresh, 1),
         "timing_attributed": attributed,
+        "protocol": ("cvpr21:huber1px,eta0.01"
+                     + (",power_order20"
+                        if solver == "POWER_SCHUR_COMPLEMENT" else "")
+                     if overrides is None else "custom"),
         "device": str(jax.devices()[0]),
         "recorded": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }

@@ -34,8 +34,16 @@ import numpy as np
 
 # Rows per grid step. [cb, 2*n*27]-wide VMEM transients must fit next
 # to the in/out blocks and their pipeline double-buffers (~6 MB at
-# n=8, cb=1024).
+# n=8, cb=1024); cb shrinks with n to hold cb*n ~ 8192 so the
+# transient envelope stays constant across bucket widths.
 _CB = 1024
+
+# The expansion matrices alone are 5184*n^2 bytes ([n*6 + n*18,
+# 2*n*27]) -- 1.3 MB at n=16, 5.3 MB at n=32 -- and do not shrink
+# with cb, so wide buckets (long landmark tracks in real BAL data)
+# would blow the ~16 MB VMEM budget at Mosaic compile time. Buckets
+# above this width take the elementwise w_chunk path instead.
+W_BUILD_MAX_N = 16
 
 
 def _available() -> bool:
@@ -78,7 +86,9 @@ def _w_build_kernel(q_ref, jp_ref, eq_ref, ej_ref, out_ref, *, n):
     out_ref[:] = p[:, :n * 27] + p[:, n * 27:]
 
 
-def w_build_available(dtype) -> bool:
+def w_build_available(dtype, n: int | None = None) -> bool:
+    if n is not None and n > W_BUILD_MAX_N:
+        return False
     return _available() and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
 
 
@@ -94,7 +104,8 @@ def w_build_table(q_tab: jnp.ndarray, jp_tab: jnp.ndarray, n: int,
 
     L = q_tab.shape[0]
     eq, ej = _w_expand_mats(n)
-    cb = min(_CB, max(64, -(-L // 8) * 8)) if L < _CB else _CB
+    cap = max(64, (8 * _CB // max(n, 8)) // 8 * 8)  # cb*n ~ 8k rows
+    cb = min(cap, max(64, -(-L // 8) * 8)) if L < cap else cap
     kern = functools.partial(_w_build_kernel, n=n)
     return pl.pallas_call(
         kern,

@@ -166,6 +166,12 @@ class LinearizerBase:
         # linearize dispatch was not synced (defer_stage_sync); checked
         # at the next attempt/solve sync
         self._pending_failures = None
+        # True when a deferred (un-synced) linearize dispatch's device
+        # time will land in the next fused attempt's measured wall
+        # time -- that attempt then includes 'stage1' in its
+        # attributed-split keys instead of silently folding jacobian
+        # time into prepare/lsolve/bsub/err (ADVICE r3)
+        self._stage1_rides_attempt = False
         # fused-attempt starting mode: the one-dispatch attempt program
         # is the same scale as the fused-loop body, so the same obs
         # threshold applies -- above it the compile service gets
@@ -303,9 +309,14 @@ class LinearizerBase:
         return self._attempt_calibrated(lam)
 
     def _note_fallback(self, mode, e):
-        if self.options.verbosity_level >= 2:
-            print(f"\t[attempt fusion degraded to '{mode}': compile "
-                  f"failed: {str(e).splitlines()[0][:120]}]")
+        # always surface the original cause: the catch treats any
+        # JaxRuntimeError as "program too big", so a genuine runtime
+        # numerical failure re-routes here first -- silently hiding
+        # its message would mask the real diagnosis (VERDICT r3). The
+        # degraded retry re-raises if the error was not compile-size.
+        head = "; ".join(str(e).splitlines()[:2])[:300]
+        print(f"[rootba_tpu] attempt fusion degraded to '{mode}' after "
+              f"JaxRuntimeError: {head}", flush=True)
 
     def _attempt_timing(self, dt, cg_iters, cg_term, keys,
                         measured=None):
@@ -327,12 +338,13 @@ class LinearizerBase:
             self.it_summary.linear_solver_type = self.linear_solver_type
             return
         f = self._timing_fracs
-        sub = {k: f[k] for k in keys}
+        sub = {k: f.get(k, 0.0) for k in keys}
         norm = sum(sub.values()) or 1.0
         fields = {
             "prepare": self.prepare_field,
             "lsolve": "solve_reduced_system_time_in_seconds",
             "bsub": "back_substitution_time_in_seconds",
+            "stage1": "stage1_time_in_seconds",
         }
         for k in keys:
             v = dt * sub[k] / norm
@@ -340,6 +352,10 @@ class LinearizerBase:
                 self.it_summary.residual_evaluation_time_in_seconds += v
             else:
                 setattr(self.it_summary, fields[k], v)
+            if k == "stage1":
+                # the reference reports jacobian evaluation as the
+                # stage1 body (linearizor_qr.cpp IF_SET spans)
+                self.it_summary.jacobian_evaluation_time_in_seconds = v
         for k, v in (measured or {}).items():
             setattr(self.it_summary, fields[k], v)
         self.it_summary.timing_attributed = True
@@ -377,8 +393,11 @@ class LinearizerBase:
                              self._pose_scale, lam_arr))
         self._consume_failures()
         dt = time.monotonic() - t0
-        self._attempt_timing(dt, cg_iters, cg_term,
-                             ("prepare", "lsolve", "bsub", "err"))
+        keys = ("prepare", "lsolve", "bsub", "err")
+        if self._stage1_rides_attempt:
+            keys = ("stage1",) + keys
+            self._stage1_rides_attempt = False
+        self._attempt_timing(dt, cg_iters, cg_term, keys)
         if self.summary is not None:
             self.summary.num_linear_solves += 1
             self.summary.num_residual_evaluations += 1
@@ -411,7 +430,7 @@ class LinearizerBase:
 
         t0 = time.monotonic()
         lam_arr = self._scalar(lam)
-        defer = self._defer_sync()
+        defer = self._defer_sync(self._attempt_idx)
         aux = self._stage2_fn(self.consts, self._lins, lam_arr)
         if not defer:
             aux = sync(aux)
@@ -424,9 +443,12 @@ class LinearizerBase:
         if defer:
             # stage2 + attempt pipelined as two un-synced dispatches:
             # attribute the combined wall time like the full mode
+            keys = ("prepare", "lsolve", "bsub", "err")
+            if self._stage1_rides_attempt:
+                keys = ("stage1",) + keys
+                self._stage1_rides_attempt = False
             self._attempt_timing(time.monotonic() - t0, cg_iters,
-                                 cg_term,
-                                 ("prepare", "lsolve", "bsub", "err"))
+                                 cg_term, keys)
         else:
             self._attempt_timing(time.monotonic() - t1, cg_iters,
                                  cg_term, ("lsolve", "bsub", "err"),
@@ -451,6 +473,9 @@ class LinearizerBase:
         ri2 = self.compute_error()
         t_err = time.monotonic() - t_err0
         self.set_state(backup)
+        # a deferred linearize's device time (if any) rode into the
+        # solve() sync above; don't let a later attempt claim it
+        self._stage1_rides_attempt = False
         its = self.it_summary
         if its is not None:
             parts = {
@@ -461,23 +486,37 @@ class LinearizerBase:
             }
             total = sum(parts.values())
             if total > 0:
-                self._timing_fracs = {k: v / total
-                                      for k, v in parts.items()}
+                fracs = {k: v / total for k, v in parts.items()}
+                # stage1 fraction relative to the attempt body, from
+                # this iteration's measured linearize span (calibration
+                # iterations never defer it) -- used by fused attempts
+                # that absorb a deferred linearize dispatch
+                s1 = its.stage1_time_in_seconds
+                if s1 > 0:
+                    fracs["stage1"] = s1 / total
+                self._timing_fracs = fracs
         return new_state, float(l_diff), ri2, inc_finite
 
     # -- host-driven stage dispatches (shared by all linearizers) ------
-    def _defer_sync(self) -> bool:
+    def _defer_sync(self, upcoming_idx: int | None = None) -> bool:
         """True when stage dispatches should pipeline without
         intermediate host syncs (defer_stage_sync): per-stage timing
         then comes from the periodic calibration attempts, so don't
         defer right before one (the next attempt calibrates exactly
-        when the attempt counter hits the interval)."""
+        when the attempt counter hits the interval).
+
+        `upcoming_idx` is the index the attempt consuming this
+        dispatch will have; callers that already incremented the
+        counter (e.g. _attempt_half) pass the current index --
+        defaulting to +1 would de-defer the attempt *preceding* a
+        calibration instead (ADVICE r3)."""
         if not (self.options.defer_stage_sync
                 and self.options.host_fused_attempt):
             return False
+        if upcoming_idx is None:
+            upcoming_idx = self._attempt_idx + 1
         interval = max(self.options.timing_calibration_interval, 0)
-        return not (interval
-                    and (self._attempt_idx + 1) % interval == 0)
+        return not (interval and upcoming_idx % interval == 0)
 
     def _consume_failures(self):
         """Deferred stage1 numerical-failure check (the sync that would
@@ -501,6 +540,7 @@ class LinearizerBase:
             # attempt submission and the failure check happens at
             # their sync (one tunnel round trip saved per iteration)
             self._pending_failures = failures
+            self._stage1_rides_attempt = True
         else:
             sync(failures)
             if int(failures) > 0:

@@ -459,10 +459,12 @@ def _rcs_factors(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
     for bucket, q_b, jp_b in zip(buckets, stage2.Q1h, lin.Jp):
         L, n = bucket.cam_idx.shape
 
-        if use_pallas:
+        if use_pallas and w_build_available(q_b.dtype, n):
             # whole chain in VMEM (no lane-padded repeat/tile
             # intermediates): measured 106 -> 29 ms across the venice
-            # buckets (ops/pallas_fold.py)
+            # buckets (ops/pallas_fold.py). Buckets wider than
+            # W_BUILD_MAX_N fall through to the elementwise path
+            # (the kernel's expansion matrices scale O(n^2) in VMEM).
             Wp.append(w_build_table(q_b, jp_b, n))
             continue
 

@@ -35,3 +35,18 @@ def test_w_build_matches_elementwise(n, L):
     ref = np.asarray(w_ref(q, jp, n))
     out = np.asarray(w_build_table(q, jp, n, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_w_build_gated_by_bucket_width():
+    """Wide buckets (long landmark tracks) must not route to the
+    Pallas kernel: its expansion matrices scale O(n^2) in VMEM and
+    Mosaic would fail at compile time on real TPUs, which
+    interpret-mode CPU tests cannot catch (ADVICE r3). The gate lives
+    in w_build_available(dtype, n)."""
+    from rootba_tpu.ops.pallas_fold import W_BUILD_MAX_N, w_build_available
+
+    # dtype gating unchanged: f64 never routes to the kernel
+    assert not w_build_available(jnp.float64, 4)
+    # width gating is backend-independent (False regardless of device)
+    for n in (W_BUILD_MAX_N * 2, 64, 128):
+        assert not w_build_available(jnp.float32, n)
