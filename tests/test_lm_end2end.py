@@ -166,3 +166,38 @@ def test_cli_dump_config(capsys):
     assert "[dataset]" in out
     assert 'solver_type = "SQUARE_ROOT"' in out
     assert "[solver.residual]" in out
+
+
+def test_solvers_agree_mid_scale():
+    """Scaled-up cross-solver agreement tier under the PoBA-paper
+    benchmark protocol (Huber 1 px, eta = 0.01, power_order = 20:
+    /root/reference/examples/batch/poba_batch_config.toml:52,398-412).
+
+    Round-3 venice runs exposed that PoBA under the option DEFAULTS
+    (power_order=10, eta=0.1) truncates its series at max order every
+    solve and lands visibly above SC after 20 LM iterations; under the
+    paper protocol the gap closes. Toy-scale tests missed this because
+    the truncation error only compounds at scale, so this tier runs at
+    ~36k observations in float32."""
+    from rootba_tpu.config.options import BalResidualOptions, RobustNorm
+
+    finals = {}
+    for solver_type in (SolverType.SCHUR_COMPLEMENT,
+                        SolverType.POWER_SCHUR_COMPLEMENT,
+                        SolverType.SQUARE_ROOT):
+        p = generate_synthetic_bal(num_cams=80, num_lms=8000,
+                                   mean_obs_per_lm=4.5, seed=7)
+        p.normalize(100.0)
+        p.perturb(0.0, 0.01, 0.01, 38401)
+        p.filter_obs(0.1)
+        opts = SolverOptions(
+            solver_type=solver_type, max_num_iterations=12,
+            verbosity_level=0, use_double=False,
+            function_tolerance=0.0, eta=0.01, power_order=20,
+            residual=BalResidualOptions(robust_norm=RobustNorm.HUBER,
+                                        huber_parameter=1.0))
+        s = bundle_adjust(p, opts)
+        finals[solver_type.name] = s.final_cost.all.error
+    sc = finals["SCHUR_COMPLEMENT"]
+    for name, c in finals.items():
+        assert abs(c - sc) / sc < 1e-2, (name, finals)
