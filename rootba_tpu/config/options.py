@@ -185,6 +185,13 @@ class SolverOptions:
     parameter_tolerance: float = opt(
         0.0, help="CERES baseline termination (xtol); manual solvers "
                   "ignore it, like the reference")
+    baseline_method: str = opt(
+        "trf", help="CERES-baseline backend: 'trf' (scipy "
+                    "least_squares trust-region-reflective; final-cost "
+                    "cross-checks) or 'lm' (plain-numpy LM running the "
+                    "reference's exact lambda/nu/rho protocol with "
+                    "dense Schur-complement normal equations; "
+                    "step-comparable per-iteration trajectories)")
 
     use_double: bool = opt(
         True, help="use float64 (CPU / emulated on TPU) instead of float32")

@@ -1060,11 +1060,20 @@ def bundle_adjust(
     if summary is None:
         summary = SolverSummary()
     if options.solver_type == SolverType.CERES:
-        # external-baseline path (scipy stands in for the reference's
-        # Ceres module, src/rootba/ceres/)
-        from rootba_tpu.solver.scipy_baseline import bundle_adjust_scipy
+        # external-baseline path (the role of the reference's Ceres
+        # module, src/rootba/ceres/): 'trf' = scipy least_squares,
+        # 'lm' = plain-numpy LM with the reference's exact
+        # trust-region protocol (step-comparable trajectories)
+        if options.baseline_method == "lm":
+            from rootba_tpu.solver.numpy_lm import bundle_adjust_numpy_lm
 
-        summary = bundle_adjust_scipy(problem, options, summary)
+            summary = bundle_adjust_numpy_lm(problem, options, summary)
+        else:
+            from rootba_tpu.solver.scipy_baseline import (
+                bundle_adjust_scipy,
+            )
+
+            summary = bundle_adjust_scipy(problem, options, summary)
         if timing is not None:
             timing.optimize_time = summary.total_time_in_seconds
         return summary
