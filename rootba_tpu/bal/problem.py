@@ -283,6 +283,15 @@ def load_bal(path: str, quiet: bool = False) -> BalProblem:
 
     obs_cam = obs[:, 0].astype(np.int64)
     obs_lm = obs[:, 1].astype(np.int64)
+    if (obs_cam.min(initial=0) < 0 or obs_cam.max(initial=-1) >= num_cams
+            or obs_lm.min(initial=0) < 0
+            or obs_lm.max(initial=-1) >= num_lms):
+        raise ValueError(f"observation index out of range in {path}")
+    # the reference rejects duplicate (lm, cam) observations
+    # (bal_problem.cpp:230-231 try_emplace CHECK(inserted))
+    pair_keys = obs_lm * num_cams + obs_cam
+    if len(np.unique(pair_keys)) != len(pair_keys):
+        raise ValueError(f"Invalid file '{path}': duplicate observation")
     obs_uv = obs[:, 2:4].copy()
     obs_uv[:, 1] = -obs_uv[:, 1]  # invert y axis
 
@@ -320,17 +329,26 @@ def load_bundler(path: str, quiet: bool = False) -> BalProblem:
 
     num_cams = int(nxt())
     num_pts = int(nxt())
-    cam_q = np.zeros((num_cams, 4))
-    cam_t = np.zeros((num_cams, 3))
-    cam_intr = np.zeros((num_cams, 3))
+    cam_q_l, cam_t_l, cam_intr_l = [], [], []
+    # cameras with focal length 0 are uninitialized: the reference
+    # skips them and remaps indices (bal_problem.cpp:321-339), then
+    # drops observations that reference a skipped camera (:372-375)
+    cam_idx_mapping = {}
     for c in range(num_cams):
-        cam_intr[c] = [float(nxt()), float(nxt()), float(nxt())]
+        intr = [float(nxt()), float(nxt()), float(nxt())]
         R = np.array([float(nxt()) for _ in range(9)]).reshape(3, 3)
         t = np.array([float(nxt()) for _ in range(3)])
+        if intr[0] == 0:
+            continue
+        cam_idx_mapping[c] = len(cam_q_l)
         R = _AXIS_FLIP @ R
         t = _AXIS_FLIP @ t
-        cam_q[c] = nplie.quat_from_matrix(R)
-        cam_t[c] = t
+        cam_q_l.append(nplie.quat_from_matrix(R))
+        cam_t_l.append(t)
+        cam_intr_l.append(intr)
+    cam_q = np.asarray(cam_q_l).reshape(-1, 4)
+    cam_t = np.asarray(cam_t_l).reshape(-1, 3)
+    cam_intr = np.asarray(cam_intr_l).reshape(-1, 3)
     lm_p = np.zeros((num_pts, 3))
     obs_lm_l, obs_cam_l, obs_uv_l = [], [], []
     for m in range(num_pts):
@@ -343,11 +361,16 @@ def load_bundler(path: str, quiet: bool = False) -> BalProblem:
             _key = nxt()
             x = float(nxt())
             y = float(nxt())
+            if cam not in cam_idx_mapping:
+                continue  # observation of a skipped camera
             if cam in seen:
-                continue
+                # reference try_emplace CHECK(inserted),
+                # bal_problem.cpp:376-379
+                raise ValueError(
+                    f"Invalid file '{path}': duplicate observation")
             seen.add(cam)
             obs_lm_l.append(m)
-            obs_cam_l.append(cam)
+            obs_cam_l.append(cam_idx_mapping[cam])
             obs_uv_l.append((x, -y))
     problem = BalProblem(
         cam_q, cam_t, cam_intr, lm_p,

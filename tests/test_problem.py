@@ -137,3 +137,146 @@ def test_bucketize_roundtrip(synthetic_problem):
     for b in bp.buckets:
         if b.n_obs >= 5:
             assert (b.n_obs & (b.n_obs - 1)) == 0
+
+
+# ---------------------------------------------------------------------------
+# golden-file loader tests (reference quirks, bal_problem.cpp:190-404;
+# VERDICT r3 'loader hardening': first contact with real data must not
+# be in production)
+# ---------------------------------------------------------------------------
+
+def _golden_bal_text():
+    # 2 cams, 2 lms, 3 obs; cam0 = identity rotation at origin,
+    # cam1 = 90deg about z with translation (1,2,3)
+    import math
+    half = math.pi / 2
+    return "\n".join([
+        "2 2 3",
+        "0 0  10.0  20.0",
+        "1 0 -10.0   5.0",
+        "1 1   0.5  -0.5",
+        # cam 0: rodrigues(0,0,0), t(0,0,0), f=500, k1=1e-2, k2=1e-4
+        "0.0", "0.0", "0.0", "0.0", "0.0", "0.0",
+        "500.0", "0.01", "0.0001",
+        # cam 1: rodrigues(0,0,pi/2), t(1,2,3), f=600, k1=0, k2=0
+        "0.0", "0.0", f"{half!r}", "1.0", "2.0", "3.0",
+        "600.0", "0.0", "0.0",
+        # landmarks
+        "1.0", "2.0", "3.0",
+        "-1.0", "0.5", "4.0",
+    ]) + "\n"
+
+
+def test_load_bal_golden_axis_flip(tmp_path):
+    """The loader must reproduce the reference's exact conventions:
+    obs y negated; R = diag(1,-1,-1) @ exp(rodrigues);
+    t = diag(1,-1,-1) @ t_raw (bal_problem.cpp:243-262)."""
+    import math
+
+    path = tmp_path / "golden.txt"
+    path.write_text(_golden_bal_text())
+    p = load_bal(str(path), quiet=True)
+    assert p.num_cameras == 2 and p.num_landmarks == 2
+    assert p.num_observations == 3
+    # obs y is negated, x untouched
+    k = [(c, l) for c, l in zip(p.obs_cam, p.obs_lm)].index((0, 0))
+    np.testing.assert_allclose(p.obs_uv[k], [10.0, -20.0])
+    # cam 0: flip only -> R = diag(1,-1,-1): quaternion 180deg about x
+    R0 = _quat_mat(p.cam_q[0])
+    np.testing.assert_allclose(R0, np.diag([1.0, -1.0, -1.0]), atol=1e-12)
+    np.testing.assert_allclose(p.cam_t[0], 0.0, atol=1e-15)
+    # cam 1: R = diag(1,-1,-1) @ Rz(pi/2), t = diag(1,-1,-1) @ (1,2,3)
+    Rz = np.array([[math.cos(math.pi / 2), -math.sin(math.pi / 2), 0],
+                   [math.sin(math.pi / 2), math.cos(math.pi / 2), 0],
+                   [0, 0, 1.0]])
+    np.testing.assert_allclose(_quat_mat(p.cam_q[1]),
+                               np.diag([1.0, -1.0, -1.0]) @ Rz,
+                               atol=1e-12)
+    np.testing.assert_allclose(p.cam_t[1], [1.0, -2.0, -3.0])
+    np.testing.assert_allclose(p.cam_intr[0], [500.0, 0.01, 0.0001])
+    np.testing.assert_allclose(p.lm_p[1], [-1.0, 0.5, 4.0])
+
+
+def _quat_mat(q):
+    from rootba_tpu.bal import nplie
+
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def test_load_bal_rejects_duplicates_and_bad_indices(tmp_path):
+    """Reference CHECK semantics (bal_problem.cpp:225-231)."""
+    bad_dup = "1 1 2\n0 0 1.0 2.0\n0 0 3.0 4.0\n" + "0.0\n" * 9 + \
+        "1.0\n1.0\n1.0\n"
+    path = tmp_path / "dup.txt"
+    path.write_text(bad_dup)
+    with pytest.raises(ValueError):
+        load_bal(str(path), quiet=True)
+    bad_idx = "1 1 1\n0 5 1.0 2.0\n" + "0.0\n" * 9 + "1.0\n1.0\n1.0\n"
+    path2 = tmp_path / "idx.txt"
+    path2.write_text(bad_idx)
+    with pytest.raises(ValueError):
+        load_bal(str(path2), quiet=True)
+
+
+def test_load_bundler_skips_uninitialized_cameras(tmp_path):
+    """Bundler cameras with f == 0 are skipped with index remapping and
+    their observations dropped (bal_problem.cpp:321-339,372-375)."""
+    from rootba_tpu.bal.problem import load_bundler
+
+    txt = "\n".join([
+        "# Bundle file v0.3",
+        "3 2",
+        # cam 0: valid, f=100, identity R, t=0
+        "100.0 0.0 0.0",
+        "1 0 0  0 1 0  0 0 1",
+        "0 0 0",
+        # cam 1: f == 0 -> skipped
+        "0.0 0.0 0.0",
+        "1 0 0  0 1 0  0 0 1",
+        "0 0 0",
+        # cam 2: valid
+        "200.0 0.0 0.0",
+        "1 0 0  0 1 0  0 0 1",
+        "1 2 3",
+        # lm 0 at (1,1,1), color, 3 views (one of skipped cam 1)
+        "1 1 1", "255 0 0",
+        "3  0 7 2.0 3.0   1 8 9.0 9.0   2 9 4.0 5.0",
+        # lm 1 at (2,2,2), color, 1 view
+        "2 2 2", "0 255 0",
+        "1  2 4 6.0 7.0",
+    ]) + "\n"
+    path = tmp_path / "bundle.out"
+    path.write_text(txt)
+    p = load_bundler(str(path), quiet=True)
+    assert p.num_cameras == 2  # cam 1 skipped
+    assert p.num_observations == 3  # its view dropped
+    np.testing.assert_allclose(p.cam_intr[:, 0], [100.0, 200.0])
+    # remapped index: former cam 2 is now 1
+    assert set(zip(p.obs_cam.tolist(), p.obs_lm.tolist())) == \
+        {(0, 0), (1, 0), (1, 1)}
+    # axis flip applied: t of former cam 2 = diag(1,-1,-1) @ (1,2,3)
+    np.testing.assert_allclose(p.cam_t[1], [1.0, -2.0, -3.0])
+    # obs y negated
+    k = [(c, l) for c, l in zip(p.obs_cam, p.obs_lm)].index((0, 0))
+    np.testing.assert_allclose(p.obs_uv[k], [2.0, -3.0])
+
+
+def test_load_bundler_rejects_duplicate_views(tmp_path):
+    from rootba_tpu.bal.problem import load_bundler
+
+    txt = "\n".join([
+        "# Bundle file v0.3",
+        "1 1",
+        "100.0 0.0 0.0", "1 0 0  0 1 0  0 0 1", "0 0 0",
+        "1 1 1", "255 0 0",
+        "2  0 7 2.0 3.0   0 8 4.0 5.0",
+    ]) + "\n"
+    path = tmp_path / "bundle_dup.out"
+    path.write_text(txt)
+    with pytest.raises(ValueError):
+        load_bundler(str(path), quiet=True)
