@@ -17,6 +17,7 @@ pytree (reference bal_problem.cpp:590-608 copies state instead).
 from __future__ import annotations
 
 import math
+import os
 import time
 from typing import NamedTuple, Optional, Sequence, Tuple
 
@@ -792,9 +793,23 @@ def optimize_lm(
     ckpt_path = options.checkpoint_path
     ckpt_interval = options.checkpoint_interval
     if ckpt_path and jax.process_count() > 1:
-        raise NotImplementedError(
-            "mid-solve checkpointing is not supported in multi-process "
-            "runs yet (landmark shards are process-local)")
+        # multi-process: save allgathers shards to host (collective on
+        # every process; process 0 writes), resume loads the full file
+        # on every process and re-shards. Verify the processes agree on
+        # whether a checkpoint exists -- a file visible on only some
+        # hosts would diverge the collectives below and hang.
+        from jax.experimental import multihost_utils
+
+        exists_here = float(os.path.exists(ckpt_path))
+        exists_root = float(multihost_utils.broadcast_one_to_all(
+            jnp.asarray([exists_here]))[0])
+        if bool(exists_here) != bool(exists_root):
+            raise FileNotFoundError(
+                f"checkpoint '{ckpt_path}' is visible on process 0: "
+                f"{bool(exists_root)} but on process "
+                f"{jax.process_index()}: {bool(exists_here)}; the "
+                f"checkpoint path must resolve identically on every "
+                f"host (shared filesystem or per-host copy)")
     if ckpt_path:
         from rootba_tpu.utils.checkpoint import (
             iteration_from_dict,

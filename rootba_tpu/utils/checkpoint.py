@@ -51,11 +51,20 @@ def save_checkpoint(path: str, state, lam: float, lambda_vee: float,
                     it: int, iteration_summaries: List[dict]) -> None:
     """Atomically write the LM driver state. `state` is a BAState
     (CamState + per-bucket landmark positions, einsum [L,3] or planar
-    [3,L] layout -- saved as-is)."""
+    [3,L] layout -- saved as-is).
+
+    Multi-process: the landmark shards are allgathered to every host
+    (a collective -- ALL processes must call this), then process 0
+    alone writes the file. Resume requires the file to be readable
+    from every process (shared filesystem, or copied to each host)."""
+    import jax
+
+    from rootba_tpu.parallel.mesh import gather_to_host
+
     arrays = {
-        "cam_q": np.asarray(state.cams.q),
-        "cam_t": np.asarray(state.cams.t),
-        "cam_intr": np.asarray(state.cams.intr),
+        "cam_q": gather_to_host(state.cams.q),
+        "cam_t": gather_to_host(state.cams.t),
+        "cam_intr": gather_to_host(state.cams.intr),
         "meta": np.frombuffer(json.dumps({
             "version": FORMAT_VERSION,
             "lam": float(lam),
@@ -66,7 +75,9 @@ def save_checkpoint(path: str, state, lam: float, lambda_vee: float,
         }).encode(), dtype=np.uint8),
     }
     for i, p in enumerate(state.lm_ps):
-        arrays[f"lm_p{i}"] = np.asarray(p)
+        arrays[f"lm_p{i}"] = gather_to_host(p)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")

@@ -121,3 +121,99 @@ def test_two_process_matches_single_process(tmp_path):
                                summary.final_cost.valid.error, rtol=1e-8)
     np.testing.assert_allclose(np.asarray(mp["cam_t"]), p.cam_t,
                                rtol=1e-6, atol=1e-9)
+
+
+_CKPT_WORKER = r"""
+import json, os, sys
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2])
+port = sys.argv[3]; out = sys.argv[4]; ckpt = sys.argv[5]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4")
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/rootba_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from rootba_tpu.parallel.mesh import init_distributed
+init_distributed(f"localhost:{port}", nproc, pid)
+
+from rootba_tpu.bal.synthetic import generate_synthetic_bal
+from rootba_tpu.config.options import SolverOptions
+from rootba_tpu.solver.lm import bundle_adjust
+
+
+def problem():
+    p = generate_synthetic_bal(num_cams=12, num_lms=200,
+                               mean_obs_per_lm=4.5, seed=3)
+    p.normalize(100.0)
+    p.perturb(0.0, 0.01, 0.01, 38401)
+    p.filter_obs(0.1)
+    return p
+
+
+def opts(n, **kw):
+    return SolverOptions(max_num_iterations=n, verbosity_level=0,
+                         lm_loop="host", num_devices=0,
+                         kernel_layout="einsum", use_double=True, **kw)
+
+
+# straight-through 6-iteration solve (the reference trajectory)
+s_full = bundle_adjust(problem(), opts(6))
+
+# interrupted run: write a checkpoint every 2 iterations, stop at 3
+bundle_adjust(problem(), opts(3, checkpoint_path=ckpt,
+                              checkpoint_interval=2))
+assert os.path.exists(ckpt), "process 0 must have written the checkpoint"
+
+# resumed run continues from the checkpoint to 6 iterations
+s_res = bundle_adjust(problem(), opts(6, checkpoint_path=ckpt,
+                                      checkpoint_interval=2))
+
+if pid == 0:
+    json.dump({
+        "full": [it.cost.valid.error for it in s_full.iterations],
+        "resumed": [it.cost.valid.error for it in s_res.iterations],
+    }, open(out, "w"))
+"""
+
+
+def test_two_process_checkpoint_resume(tmp_path):
+    """Multi-process checkpoint/resume (VERDICT r3 item 6): save
+    allgathers landmark shards (collective) with process 0 writing;
+    resume re-shards on every process. The resumed trajectory must
+    exactly continue the straight-through solve."""
+    port = _free_port()
+    out = str(tmp_path / "mp_ckpt.json")
+    ckpt = str(tmp_path / "solve.ckpt.npz")
+    worker = str(tmp_path / "ckpt_worker.py")
+    with open(worker, "w") as fp:
+        fp.write("import numpy as np\n" + _CKPT_WORKER)
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), out, ckpt],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)
+    ]
+    outs = []
+    for pr in procs:
+        try:
+            stdout, _ = pr.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            stdout, _ = pr.communicate()
+        outs.append(stdout.decode(errors="replace"))
+    for pr, text in zip(procs, outs):
+        assert pr.returncode == 0, f"worker failed:\n{text[-4000:]}"
+    res = json.load(open(out))
+    # iterations 0..3 match the interrupted run's record; 4..6 continue
+    # identically to the straight-through solve
+    assert len(res["resumed"]) == len(res["full"])
+    np.testing.assert_allclose(res["resumed"], res["full"], rtol=1e-9)
