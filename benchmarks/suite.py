@@ -143,7 +143,35 @@ def run_problem(name, solver="SQUARE_ROOT", iters=20, overrides=None):
     per_it = sorted(it.iteration_time_in_seconds for it in its[2:])
     steady = (per_it[len(per_it) // 2] if per_it else total)
     t_thresh, thresh = time_to_threshold_row(s2)
-    attributed = any(it.timing_attributed for it in its)
+
+    # measured-timing pass (VERDICT r3 item 4): every stage as its own
+    # synced dispatch -> all per-stage fields are real spans, not
+    # calibration-fraction attributions. The headline steady/total
+    # stay from the fast fused run above; the stage split and the
+    # timing_attributed=False flag come from this run.
+    opts.timing_mode = "measured"
+    s3 = SolverSummary()
+    t0 = time.monotonic()
+    solve_host = lambda s: optimize_lm(bp, opts, s, linearizer=lin)
+    solve_host(s3)
+    total_measured = time.monotonic() - t0
+    opts.timing_mode = "fast"
+
+    def med(vals):
+        vals = sorted(vals)
+        return round(vals[len(vals) // 2], 4) if vals else 0.0
+
+    mits = s3.iterations[2:]
+    stage_times = {
+        "stage1": med([i.stage1_time_in_seconds for i in mits]),
+        "prepare": med([max(i.prepare_time_in_seconds,
+                            i.stage2_time_in_seconds) for i in mits]),
+        "lsolve": med([i.solve_reduced_system_time_in_seconds
+                       for i in mits]),
+        "bsub": med([i.back_substitution_time_in_seconds for i in mits]),
+        "err": med([i.residual_evaluation_time_in_seconds for i in mits]),
+    }
+    attributed = any(it.timing_attributed for it in s3.iterations)
     return {
         "problem": name,
         "solver": solver,
@@ -159,6 +187,8 @@ def run_problem(name, solver="SQUARE_ROOT", iters=20, overrides=None):
                                         else None),
         "cost_threshold": round(thresh, 1),
         "timing_attributed": attributed,
+        "stage_times_measured_s": stage_times,
+        "total_time_measured_mode_s": round(total_measured, 4),
         "protocol": ("cvpr21:huber1px,eta0.01"
                      + (",power_order20"
                         if solver == "POWER_SCHUR_COMPLEMENT" else "")

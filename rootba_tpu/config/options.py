@@ -251,6 +251,17 @@ class SolverOptions:
                    "the periodic calibration attempts; numerical-"
                    "failure checks move to the attempt sync. Set false "
                    "to sync and time every stage dispatch separately")
+    timing_mode: str = opt(
+        "fast", help="'fast' (default): fused attempt dispatches with "
+                     "attributed per-stage times (timing_attributed in "
+                     "the log); 'measured': every stage runs as its "
+                     "own synced dispatch so all ~14 per-iteration "
+                     "timing fields are real measured spans like the "
+                     "reference's (ba_log.hpp:205-231) at the cost of "
+                     "~4 extra host round trips per LM iteration "
+                     "(shorthand for host lm_loop + "
+                     "timing_calibration_interval=1 + "
+                     "defer_stage_sync=false)")
     num_devices: int = opt(
         0, help="number of devices to shard landmark blocks over (0 = all)")
     checkpoint_path: str = opt(
@@ -365,6 +376,14 @@ class SolverOptions:
                     f"solver option '{name}={value}' is accepted but "
                     f"inert on TPU (CERES baseline only for "
                     f"min/max_lm_diagonal)", stacklevel=3)
+
+    def effective_timing(self):
+        """(calibration_interval, defer_stage_sync) after resolving
+        timing_mode: 'measured' forces per-iteration calibration with
+        synced stage dispatches so every timing field is a real span."""
+        if self.timing_mode == "measured":
+            return 1, False
+        return self.timing_calibration_interval, self.defer_stage_sync
 
     def effective_strip_min_group(self, num_observations: int) -> int:
         """Resolve strip_min_group=-1 (auto) by problem size: the

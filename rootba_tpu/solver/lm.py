@@ -286,7 +286,7 @@ class LinearizerBase:
         fused attempts split their measured total by the latest
         calibration's fractions and are flagged timing_attributed."""
         self._attempt_idx += 1
-        interval = max(self.options.timing_calibration_interval, 0)
+        interval = max(self.options.effective_timing()[0], 0)
         if interval and self._attempt_idx % interval == 0:
             return self._attempt_calibrated(lam)
 
@@ -511,12 +511,12 @@ class LinearizerBase:
         counter (e.g. _attempt_half) pass the current index --
         defaulting to +1 would de-defer the attempt *preceding* a
         calibration instead (ADVICE r3)."""
-        if not (self.options.defer_stage_sync
-                and self.options.host_fused_attempt):
+        interval, defer = self.options.effective_timing()
+        if not (defer and self.options.host_fused_attempt):
             return False
         if upcoming_idx is None:
             upcoming_idx = self._attempt_idx + 1
-        interval = max(self.options.timing_calibration_interval, 0)
+        interval = max(interval, 0)
         return not (interval and upcoming_idx % interval == 0)
 
     def _consume_failures(self):
@@ -1103,6 +1103,10 @@ def bundle_adjust(
     if lm_loop == "auto":
         lm_loop = ("fused" if problem.num_observations
                    <= options.fused_obs_threshold else "host")
+    if options.timing_mode == "measured":
+        # the whole-solve fused program cannot produce per-stage spans
+        # (one dispatch); measured timing implies the host loop
+        lm_loop = "host"
     if lm_loop == "fused":
         from rootba_tpu.solver.fused_lm import optimize_lm_fused
 
