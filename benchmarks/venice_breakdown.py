@@ -101,7 +101,7 @@ def main():
                            jfn(mv30), x)
         print(f"{'  -> per CG matvec':44s} {t_mv30/30*1e3:9.2f} ms")
 
-        from rootba_tpu.solver.cg import precond_apply
+        from rootba_tpu.solver.sqrt_qr import precond_apply
 
         def pc30(x_):
             def body(i, v):

@@ -61,3 +61,43 @@ def chol9_solve(L: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
             s = s - L[:, k, i] * z[k]
         z[i] = s / L[:, i, i]
     return jnp.stack(z, axis=-1)
+
+
+def chol9_inv(L: jnp.ndarray) -> jnp.ndarray:
+    """Explicit block inverse M = (L L')^-1 = L^-T L^-1 from batched
+    lower factors [N,9,9], unrolled.
+
+    Why: chol9_solve is an 18-step serial substitution chain; inside a
+    PCG while-loop body those dependent steps cost ~0.8 ms per
+    application at N=1778 (venice, measured r4). Inverting once per
+    stage2 (~3x the flops, OUTSIDE the loop) turns every preconditioner
+    application into the single fused batched product inv9_apply --
+    amortized over the 10s-100s of CG iterations of a solve.
+
+    NaN propagates from non-SPD blocks exactly like chol9_solve.
+    """
+    Li = [[None] * D for _ in range(D)]
+    for j in range(D):
+        Li[j][j] = 1.0 / L[:, j, j]
+        for i in range(j + 1, D):
+            s = None
+            for k in range(j, i):
+                t = L[:, i, k] * Li[k][j]
+                s = t if s is None else s + t
+            Li[i][j] = -s / L[:, i, i]
+    rows = []
+    for a in range(D):
+        cols = []
+        for b in range(D):
+            s = None
+            for k in range(max(a, b), D):
+                t = Li[k][a] * Li[k][b]
+                s = t if s is None else s + t
+            cols.append(s)
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def inv9_apply(M: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """z = M r for batched [N,9,9] x [N,9]: one fused mult-sum."""
+    return jnp.sum(M * r[:, None, :], axis=2)

@@ -641,22 +641,32 @@ class SCLinearizer(LinearizerBase):
                 def matvec(x):
                     return sc_matvec_dense(H_dense, x)
             elif self.bsr_rcs:
-                from rootba_tpu.solver.linearization import bsr_matvec
+                from rootba_tpu.solver.linearization import (
+                    bsr_matvec_pack,
+                    bsr_matvec_packed,
+                )
 
                 blocks2, diag_b = H_dense
+                packed = bsr_matvec_pack(blocks2, bsr_)
 
                 def matvec(x):
-                    return bsr_matvec(blocks2, diag_b, bsr_, x)
+                    return bsr_matvec_packed(packed, diag_b, bsr_, x)
             else:
                 def matvec(x):
                     return sc_matvec(stage2, pairs, self.num_cameras, x)
 
+            from rootba_tpu.ops.block9 import chol9_inv, inv9_apply
+
             if not use_power_precond:
+                pinv = chol9_inv(chol)
+
                 def precond(r):
-                    return precond_apply(chol, r)
+                    return inv9_apply(pinv, r)
             else:
+                hpp_inv = chol9_inv(hpp_chol)
+
                 def apply_hpp_inv(v):
-                    return precond_apply(hpp_chol, v)
+                    return inv9_apply(hpp_inv, v)
 
                 if self.dense_rcs:
                     def apply_e0(v):
@@ -843,19 +853,27 @@ class PowerSCLinearizer(SCLinearizer):
             buckets, csr, pair_csr, cam_flat, cstrips_, bsr_ = consts
             stage2, hpp_chol, E0 = aux
 
+            from rootba_tpu.ops.block9 import chol9_inv, inv9_apply
+
+            hpp_inv = chol9_inv(hpp_chol)
+
             def apply_hpp_inv(v):
-                return precond_apply(hpp_chol, v)
+                return inv9_apply(hpp_inv, v)
 
             if self.dense_rcs:
                 def apply_e0(v):
                     return sc_matvec_dense(E0, v)
             elif self.bsr_rcs:
-                from rootba_tpu.solver.linearization import bsr_matvec
+                from rootba_tpu.solver.linearization import (
+                    bsr_matvec_pack,
+                    bsr_matvec_packed,
+                )
 
                 neg_blocks2, neg_diag = E0
+                packed = bsr_matvec_pack(neg_blocks2, bsr_)
 
                 def apply_e0(v):
-                    return -bsr_matvec(neg_blocks2, neg_diag, bsr_, v)
+                    return -bsr_matvec_packed(packed, neg_diag, bsr_, v)
             else:
                 def apply_e0(v):
                     return e0_matvec(lins, buckets, stage2.Hll_inv,

@@ -899,6 +899,46 @@ def bsr_matvec(blocks2: jnp.ndarray, diag: jnp.ndarray,
     return y_diag + y_off
 
 
+def bsr_matvec_pack(blocks2: jnp.ndarray,
+                    bsr: BsrMatvecIndex) -> jnp.ndarray:
+    """Run-major packed block table [R, W, 9, 9] for
+    bsr_matvec_packed: gather the [R, W] block entries ONCE per stage2
+    (pad entries -> zero blocks).
+
+    Why: bsr_matvec re-gathers the blocks and forms lane-padded
+    [cW, 9, 9] products on every application; inside a CG loop that
+    measured 1.17 ms/matvec at venice (~30x the ~40 us traffic
+    roofline of its 12.4 MB block table, r4 breakdown). The packed
+    form is loop-invariant (XLA hoists it out of the CG while-loop),
+    and each application is one gather + one batched dot_general."""
+    R, W = bsr.blk_idx.shape
+    Hb = jnp.take(blocks2, bsr.blk_idx.reshape(-1), axis=0,
+                  mode="fill", fill_value=0.0)  # [R*W, 81]
+    return Hb.reshape(R, W, POSE_SIZE, POSE_SIZE)
+
+
+def bsr_matvec_packed(packed: jnp.ndarray, diag: jnp.ndarray,
+                      bsr: BsrMatvecIndex, x: jnp.ndarray) -> jnp.ndarray:
+    """y = H x with the packed run-major block table: one x-row gather,
+    one MXU dot_general contracting (entry-in-run, column) jointly per
+    run, the camera-level idx2 reduce, plus the diagonal product.
+    Numerically equal to bsr_matvec up to f32 reassociation (HIGHEST
+    keeps the MXU contraction f32-exact)."""
+    P9_ = POSE_SIZE
+    R, W = bsr.col_idx.shape
+    xg = jnp.take(x, bsr.col_idx.reshape(-1), axis=0, mode="fill",
+                  fill_value=0.0)  # [R*W, 9]
+    X = xg.reshape(R, W, P9_)
+    y_runs = jax.lax.dot_general(
+        packed, X, (((1, 3), (1, 2)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)  # [R, 9]
+    rsum = jnp.concatenate(
+        [y_runs, jnp.zeros((1, P9_), y_runs.dtype)], axis=0)
+    y_off = _level2_reduce(rsum, bsr.idx2)  # [N, 9]
+    y_diag = jnp.sum(diag * x[:, None, :], axis=2)
+    return y_diag + y_off
+
+
 class _SelfPairView(NamedTuple):
     """Adapter presenting a CamCsrIndex as a pair index whose two sides
     are the same observation (for per-camera gram reductions through

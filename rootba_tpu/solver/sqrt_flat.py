@@ -763,12 +763,18 @@ class FlatSqrtLinearizer(LinearizerBase):
             buckets, csr, cam_flat, pairs, cstrips_, bsr_ = consts
             stage2, Hd = aux
             if bsr_mode:
-                from rootba_tpu.solver.linearization import bsr_matvec
+                from rootba_tpu.solver.linearization import (
+                    bsr_matvec_pack,
+                    bsr_matvec_packed,
+                )
 
                 blocks2, diag = Hd
+                # loop-invariant: packed once, hoisted out of the CG
+                # while-loop (see bsr_matvec_pack)
+                packed = bsr_matvec_pack(blocks2, bsr_)
 
                 def matvec(x):
-                    return bsr_matvec(blocks2, diag, bsr_, x)
+                    return bsr_matvec_packed(packed, diag, bsr_, x)
             elif explicit:
                 def matvec(x):
                     from rootba_tpu.solver.explicit_sc import (
@@ -797,9 +803,15 @@ class FlatSqrtLinearizer(LinearizerBase):
                     return flat_matvec(lins, stage2, buckets, cam_flat,
                                        N, x, csr=csr)
 
+            # explicit per-block inverse once per solve: the unrolled
+            # 18-step substitution chain costs ~0.8 ms per application
+            # inside the CG loop at venice scale (ops/block9.chol9_inv)
+            from rootba_tpu.ops.block9 import chol9_inv, inv9_apply
+
+            pinv = chol9_inv(stage2.precond_chol)
             res = pcg(
                 matvec,
-                lambda r: precond_apply(stage2.precond_chol, r),
+                lambda r: inv9_apply(pinv, r),
                 stage2.b,
                 min_num_iterations=opts.min_linear_solver_iterations,
                 max_num_iterations=opts.max_linear_solver_iterations,
