@@ -78,10 +78,29 @@ class FlatLin(NamedTuple):
     passes."""
 
     Jp: Tuple[jnp.ndarray, ...]  # per bucket [L, n*18], col i*18+r*9+a
-    Jl: Tuple[jnp.ndarray, ...]  # per bucket [L, n*6], col i*6+r*3+c
+    # Q0R0 packs the UNDAMPED thin-QR factors of the scaled Jl
+    # (Jl = Q0 R0, computed once per linearization): cols 0..n*6 are
+    # Q0 (col i*6+r*3+c, the layout stage2's Q1h had), cols
+    # n*6..n*6+9 are R0 row-major. Why packed: a separate [L, 9] R0
+    # table lane-pads 9 -> 128 (2.3 GB at final-13682) while the
+    # [L, n*6] table's tail pad is already there (6n+9 never crosses
+    # a 128 boundary for the bucket widths 2..8/pow2). Why QR here:
+    # the per-lambda damped factors follow from the 6x3 re-QR
+    # identity [Q0 R0; sqrt(lam) I] = (Q0 Qt) Rt with [R0; sqrt(lam)
+    # I] = Qt Rt -- so stage2 re-QRs 6 rows per landmark instead of
+    # 2n+3 (reference landmark_block_base.ipp:166-210 keeps Givens
+    # add/undo for the same reason; the TPU form is a planar re-QR).
+    Q0R0: Tuple[jnp.ndarray, ...]  # per bucket [L, n*6+9]
     r: Tuple[jnp.ndarray, ...]  # per bucket [L, n*2], col i*2+r
     Jl_scale: Tuple[jnp.ndarray, ...]  # per bucket [L,3]
     pose_scale: jnp.ndarray  # [N,9] deferred jacobi pose scale
+    # lambda-independent per-camera Jp'Jp gram [N, 81] (unscaled),
+    # computed once per linearization on the explicit-RCS strips path
+    # so each backtracking attempt's diagonal-block pass only computes
+    # the lambda-dependent W'W part (the reference's stage1/stage2
+    # split exists for exactly this reason,
+    # linearization_qr.hpp:634-712 vs :716-815); None elsewhere
+    diag_jp81: jnp.ndarray | None
 
 
 class FlatStage2(NamedTuple):
@@ -104,7 +123,8 @@ def _bucket_offsets(buckets):
 
 def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
                    huber_parameter, use_valid_only, jacobi_eps,
-                   jacobi_scaling, csr, num_cameras, cam_strips=None):
+                   jacobi_scaling, csr, num_cameras, cam_strips=None,
+                   with_gram=False):
     """Stage 1: linearize + scale_Jl_cols + jacobi pose scaling, all
     buckets in one pass (reference get_stage1 fusion,
     linearization_qr.hpp:634-712). Everything stays 2-D per bucket
@@ -156,10 +176,18 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
                                   (Lc, n, 3)).reshape(Lc * n, 3)
             jl_c = (jl_f * jnp.tile(se, (1, 2))).reshape(Lc, n * 6)
 
+            # undamped thin-QR of the scaled Jl, fused into this chunk
+            # (Jl itself never reaches HBM; see FlatLin.Q0R0)
+            Jl2p = jl_c.T.reshape(2 * n, 3, Lc)
+            R0p, Q0p = householder_qr3_planar(Jl2p)
+            q0_c = jnp.transpose(Q0p, (2, 0, 1)).reshape(Lc, n * 6)
+            r0_c = jnp.transpose(R0p, (2, 0, 1)).reshape(Lc, 9)
+            q0r0_c = jnp.concatenate([q0_c, r0_c], axis=1)
+
             # pose diag^2 contribution [Lc, n*9]
             jp2 = jp_f * jp_f
             d2_c = (jp2[:, :P9] + jp2[:, P9:]).reshape(Lc, n * P9)
-            return (jp_f.reshape(Lc, n * 18), jl_c, r_c, d2_c,
+            return (jp_f.reshape(Lc, n * 18), q0r0_c, r_c, d2_c,
                     scale, fail)
 
         jp_b, jl_b, r_b, d2_b, scale_b, fail_b = _map_rows(
@@ -173,7 +201,20 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
         jp_us.append(jp_b)  # unscaled; pose scale applied below
 
     # pose jacobi scaling (add_Jp_diag2 -> linearizor_qr.cpp:104-110)
-    if cam_strips is not None and cam_strips.wi_idx.shape[0] == 0:
+    diag_jp81 = None
+    if (with_gram and cam_strips is not None
+            and cam_strips.wi_idx.shape[0] == 0):
+        # one strip pass yields the full lambda-independent Jp gram;
+        # diag2 is its block diagonal (the d2 tables' reduce is
+        # subsumed)
+        from rootba_tpu.solver.linearization import cam_gram_strips
+
+        jp_t = tuple(jp_us)
+        diag_jp81 = cam_gram_strips([(jp_t, jp_t, 1.0)], buckets,
+                                    cam_strips)
+        diag2 = jnp.diagonal(
+            diag_jp81.reshape(num_cameras, P9, P9), axis1=1, axis2=2)
+    elif cam_strips is not None and cam_strips.wi_idx.shape[0] == 0:
         from rootba_tpu.solver.linearization import cam_reduce_strips
 
         diag2 = cam_reduce_strips(tuple(d2_parts), buckets, cam_strips)
@@ -189,9 +230,9 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
     else:
         pose_scale = jnp.ones_like(diag2)
     # Jp stays unscaled (see FlatLin: the scale is deferred)
-    return (FlatLin(Jp=tuple(jp_us), Jl=tuple(jl_parts),
+    return (FlatLin(Jp=tuple(jp_us), Q0R0=tuple(jl_parts),
                     r=tuple(r_parts), Jl_scale=tuple(scales),
-                    pose_scale=pose_scale),
+                    pose_scale=pose_scale, diag_jp81=diag_jp81),
             pose_scale, failures)
 
 
@@ -210,29 +251,34 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
 
     Q1h_parts = []
     Rs = []
-    for bucket, jl_b in zip(buckets, lin.Jl):
+    for bucket, q0r0_b in zip(buckets, lin.Q0R0):
         L, n = bucket.cam_idx.shape
 
-        # damped thin-QR in PLANAR [m, 3, L] form: the row-major
-        # [L, m, 3] chain lane-pads every intermediate 3 -> 128
-        # (measured 33 ms/solve of padding traffic in the fused
-        # ladybug program; see householder_qr3_planar). Row-chunked:
-        # the [L, m, 3] transpose back is (8,128)-tile-padded when
-        # materialized (~4 GB at a final-13682 2M-row bucket)
+        # damped thin-QR via the 6x3 re-QR identity (see FlatLin.Q0R0):
+        # with the undamped Jl = Q0 R0 from stage1, [Jl; sqrt(lam) I] =
+        # blockdiag(Q0, I) [R0; sqrt(lam) I], so one planar 6-row QR +
+        # a per-landmark 3x3 rotation of Q0 replaces the full
+        # (2n+3)-row chain per lambda attempt. Planar [*, 3, L] keeps
+        # every intermediate lane-dense (the row-major chain pads
+        # 3 -> 128; see householder_qr3_planar)
         def qr_chunk(ts, n=n):
-            jl_c = ts[0]
-            Lc = jl_c.shape[0]
-            Jl2p = jl_c.T.reshape(2 * n, 3, Lc)
+            q0r0_c = ts[0]
+            Lc = q0r0_c.shape[0]
+            R0p = q0r0_c[:, n * 6:].T.reshape(3, 3, Lc)
             dampp = jnp.sqrt(lam).astype(dtype) * jnp.broadcast_to(
                 jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, Lc))
-            augp = jnp.concatenate([Jl2p, dampp], axis=0)
-            Rp, Q1p = householder_qr3_planar(augp)
-            R_c = jnp.transpose(Rp, (2, 0, 1))
-            q = jnp.transpose(Q1p[:2 * n], (2, 0, 1)).reshape(
-                Lc, n * 6)
+            augp = jnp.concatenate([R0p, dampp], axis=0)  # [6,3,Lc]
+            Rtp, Qtp = householder_qr3_planar(augp)
+            R_c = jnp.transpose(Rtp, (2, 0, 1))
+            Q0p = q0r0_c[:, :n * 6].T.reshape(2 * n, 3, Lc)
+            Qt3 = Qtp[:3]  # [3(c), 3(c'), Lc]
+            Q1p = (Q0p[:, 0:1, :] * Qt3[0][None]
+                   + Q0p[:, 1:2, :] * Qt3[1][None]
+                   + Q0p[:, 2:3, :] * Qt3[2][None])  # [2n,3,Lc]
+            q = jnp.transpose(Q1p, (2, 0, 1)).reshape(Lc, n * 6)
             return R_c, q
 
-        R, Q1h_b = _map_rows(qr_chunk, [jl_b], L, n)
+        R, Q1h_b = _map_rows(qr_chunk, [q0r0_b], L, n)
         Rs.append(R)
         # materialize each bucket's Q1h once: it feeds several
         # consumers (RHS projection, RCS assembly, CG matvec) and XLA
@@ -370,10 +416,11 @@ def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, cam_flat, pairs,
             pose_scale=lin.pose_scale, pair_rows=Hup, diag81=diag81)
     Wa, Wb, terms = _rcs_factors(lin, stage2, buckets, pairs,
                                  cam_strips)
+    diag81 = _cached_diag81(lin, Wa, buckets, cam_strips)
     return assemble_rcs_dense(
         Wa, Wb, terms, cam_flat, csr, pairs, stage2.lam, num_cameras,
         buckets=buckets, cam_strips=cam_strips,
-        pose_scale=lin.pose_scale)
+        pose_scale=lin.pose_scale, diag81=diag81)
 
 
 def flat_assemble_rcs_bsr(lin: FlatLin, stage2: FlatStage2, cam_flat,
@@ -394,10 +441,24 @@ def flat_assemble_rcs_bsr(lin: FlatLin, stage2: FlatStage2, cam_flat,
             pose_scale=lin.pose_scale, pair_rows=Hup, diag81=diag81)
     Wa, Wb, terms = _rcs_factors(lin, stage2, buckets, pairs,
                                  cam_strips)
+    diag81 = _cached_diag81(lin, Wa, buckets, cam_strips)
     return assemble_rcs_bsr(
         Wa, Wb, terms, cam_flat, csr, pairs, stage2.lam, num_cameras,
         buckets=buckets, cam_strips=cam_strips,
-        pose_scale=lin.pose_scale)
+        pose_scale=lin.pose_scale, diag81=diag81)
+
+
+def _cached_diag81(lin: FlatLin, Wa, buckets, cam_strips):
+    """Diagonal-block rows using the stage1-cached Jp gram: per attempt
+    only the lambda-dependent -W'W part is reduced (one strip pass over
+    one table instead of two; see FlatLin.diag_jp81). None -> the
+    assembler's own diag_terms path."""
+    if lin.diag_jp81 is None or not isinstance(Wa, (tuple, list)):
+        return None
+    from rootba_tpu.solver.linearization import cam_gram_strips
+
+    return lin.diag_jp81 + cam_gram_strips([(Wa, Wa, -1.0)], buckets,
+                                           cam_strips)
 
 
 # above this many obs slots, the explicit-RCS assembly switches to the
@@ -546,16 +607,15 @@ def flat_back_substitute(lin: FlatLin, stage2: FlatStage2, buckets,
     inc_pre = pose_inc * lin.pose_scale
     new_lm_ps = []
     bucket_sums = []
-    for bucket, jp_b, jl_b, r_b, q_b, R, scale, lm_p in zip(
-            buckets, lin.Jp, lin.Jl, lin.r, stage2.Q1h, stage2.R,
+    for bucket, jp_b, q0r0_b, r_b, q_b, R, scale, lm_p in zip(
+            buckets, lin.Jp, lin.Q0R0, lin.r, stage2.Q1h, stage2.R,
             lin.Jl_scale, lm_ps):
         L, n = bucket.cam_idx.shape
 
         def bsub_chunk(ts, n=n):
-            jp_c, jl_c, r_c, q_c, cam_c, mask_c, R_c, sc_c, lm_c = ts
+            jp_c, q0r0_c, r_c, q_c, cam_c, mask_c, R_c, sc_c, lm_c = ts
             Lc = jp_c.shape[0]
             jpf = jp_c.reshape(Lc * n, 18)
-            jlf = jl_c.reshape(Lc * n, 6)
             rf = r_c.reshape(Lc * n, 2)
             qf = q_c.reshape(Lc * n, 6)
             xg = jnp.take(inc_pre, cam_c.reshape(-1), axis=0)
@@ -568,17 +628,21 @@ def flat_back_substitute(lin: FlatLin, stage2: FlatStage2, buckets,
             dl_s = -solve_upper(R_c, rhs)
             dl_s = jnp.where(mask_c[:, None], dl_s, 0.0)
             new_lm = lm_c + (dl_s * sc_c).astype(lm_c.dtype)
-            dl_e = jnp.broadcast_to(
-                dl_s[:, None, :], (Lc, n, 3)).reshape(Lc * n, 3)
-            v0 = w0 + jnp.sum(jlf[:, :3] * dl_e, axis=1)
-            v1 = w1 + jnp.sum(jlf[:, 3:] * dl_e, axis=1)
+            # Jl dl = Q0 (R0 dl) (Jl itself is not stored; FlatLin.Q0R0)
+            R0_c = q0r0_c[:, n * 6:].reshape(Lc, 3, 3)
+            rdl = jnp.sum(R0_c * dl_s[:, None, :], axis=2)  # [Lc,3]
+            rdl_e = jnp.broadcast_to(
+                rdl[:, None, :], (Lc, n, 3)).reshape(Lc * n, 3)
+            q0f = q0r0_c[:, :n * 6].reshape(Lc, n, 6).reshape(Lc * n, 6)
+            v0 = w0 + jnp.sum(q0f[:, :3] * rdl_e, axis=1)
+            v1 = w1 + jnp.sum(q0f[:, 3:] * rdl_e, axis=1)
             parts = (v0 * (0.5 * v0 + rf[:, 0])
                      + v1 * (0.5 * v1 + rf[:, 1])).astype(acc_dtype)
             return new_lm, jnp.sum(parts.reshape(Lc, n), axis=1)
 
         new_lm, lsum = _map_rows(
             bsub_chunk,
-            [jp_b, jl_b, r_b, q_b, bucket.cam_idx, bucket.lm_mask,
+            [jp_b, q0r0_b, r_b, q_b, bucket.cam_idx, bucket.lm_mask,
              R, scale, lm_p], L, n)
         new_lm_ps.append(new_lm)
         if compensated:
@@ -710,13 +774,27 @@ class FlatSqrtLinearizer(LinearizerBase):
             return compute_error_buckets(
                 cams, lm_ps, consts[0], self.robust_norm, self.huber)
 
+        # stage1 caches the Jp gram only when the per-attempt assembly
+        # will consume it: not under the W-free sandwich (its diag
+        # comes from sqrt_ww_diag_strips; computing the gram at
+        # final-13682's 33M slots would waste a full strip pass per
+        # iteration)
+        slots = sum(b.cam_idx.shape[0] * b.cam_idx.shape[1]
+                    for b in self.buckets)
+        sandwich = (slots >= _SANDWICH_MIN_SLOTS
+                    and opts.pair_gather == "strips"
+                    and opts.effective_strip_min_group(
+                        self.bp.num_observations) == 0)
+        with_gram = (explicit or bsr_mode) and not sandwich
+
         def stage1_fn(consts, cams, lm_ps):
             buckets, csr, cam_flat = consts[:3]
             cstrips_ = consts[4] if len(consts) > 4 else None
             return flat_linearize(
                 cams, lm_ps, buckets, cam_flat, self.robust_norm,
                 self.huber, use_valid, self.jacobi_eps,
-                opts.jacobi_scaling, csr, N, cam_strips=cstrips_)
+                opts.jacobi_scaling, csr, N, cam_strips=cstrips_,
+                with_gram=with_gram)
 
         def stage2_fn(consts, lins, lam):
             buckets, csr, cam_flat, pairs, cstrips_, bsr_ = consts
