@@ -130,6 +130,11 @@ def main():
                           for r in prev.get("suite", [])}
             for r in suite_rows:
                 pr = prev_suite.get((r["problem"], r["solver"]))
+                # comparable only under the same benchmark protocol
+                # (r4 switched the suite to the CVPR'21 Huber +
+                # eta=0.01 protocol, which changes CG iteration counts)
+                if pr and pr.get("protocol") != r.get("protocol"):
+                    continue
                 if pr and pr.get("steady_s_per_it"):
                     checks.append(
                         (f"{r['problem']}_steady_s_per_it",

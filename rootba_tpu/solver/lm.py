@@ -641,8 +641,13 @@ class SqrtLinearizer(LinearizerBase):
                 return sqrt_qr.sqrt_matvec(
                     lins, buckets, stage2, self.num_cameras, x, csr=csr)
 
+            # explicit inverse once per solve (ops/block9.chol9_inv)
+            from rootba_tpu.ops.block9 import chol9_inv, inv9_apply
+
+            pinv = chol9_inv(stage2.precond_chol)
+
             def precond(r):
-                return sqrt_qr.precond_apply(stage2.precond_chol, r)
+                return inv9_apply(pinv, r)
 
             res = pcg(
                 matvec, precond, stage2.b,
