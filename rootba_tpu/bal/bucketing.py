@@ -687,16 +687,30 @@ class BsrMatvec(NamedTuple):
 
 
 def build_bsr_matvec(pair_row: np.ndarray, pair_col: np.ndarray,
-                     num_cameras: int, width: int = 64) -> BsrMatvec:
+                     num_cameras: int, width: int = 0) -> BsrMatvec:
     """Build the block-sparse matvec index from the strict-pair list
     (pair_row[p] < pair_col[p], as produced by build_pair_csr /
-    build_pair_strips)."""
+    build_pair_strips).
+
+    width=0 picks the run width adaptively: every padded slot costs a
+    row gather and a slice of the packed block table per matvec
+    (linearization.bsr_matvec_packed), so the width minimizing total
+    padded slots wins -- venice's ~22 entries/camera pad 3x at the
+    old fixed 64."""
     P = pair_row.size
     N = num_cameras
     rows = np.concatenate([pair_row.astype(np.int64),
                            pair_col.astype(np.int64)])
     cols = np.concatenate([pair_col.astype(np.int64),
                            pair_row.astype(np.int64)])
+    if width <= 0:
+        counts = np.bincount(rows, minlength=N)
+        best = None
+        width = 64
+        for w in (8, 16, 32, 64):
+            padded = int(np.sum(-(-counts // w) * w))
+            if best is None or padded < best:
+                best, width = padded, w
     blks = np.concatenate([np.arange(P, dtype=np.int64),
                            P + np.arange(P, dtype=np.int64)])
     order = np.argsort(rows, kind="stable")
