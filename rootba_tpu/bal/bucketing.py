@@ -98,6 +98,7 @@ def bucketize(
     pow2_from: int = 9,
     row_align: int = 8,
     max_bucket_obs: int = 4_000_000,
+    max_bucket_rows: int = 262_144,
 ) -> BucketedProblem:
     """Group landmarks into obs-count buckets with padded SoA tensors.
 
@@ -109,7 +110,15 @@ def bucketize(
     outputs with narrow minor dims lane-pad to 128 on TPU, so a bucket
     must be small enough that a [L*n, 9] row-major transient fits
     comfortably: 4M slots = 2.1 GB padded (final-13682's n=8 class
-    alone holds 18.7M obs = a 9.6 GB transient unsplit)."""
+    alone holds 18.7M obs = a 9.6 GB transient unsplit).
+
+    max_bucket_rows additionally caps the LANDMARK-row count per
+    bucket: the strip assemblies gather one table row per pair slot,
+    and row gathers run ~4 ns/row only while the source table has
+    <= ~256k rows, degrading to ~23-46 ns/row beyond ~1M (measured,
+    benchmarks/micro_gather_big.py + the r4 final-13682 stage2
+    profile, where 0.5-2M-row buckets put the whole pair pass in the
+    slow regime -- ~12 s of the 14 s prepare)."""
     counts = problem.obs_per_landmark()
     if counts.min(initial=2) < 2:
         raise ValueError("landmarks must have >= 2 observations; "
@@ -134,8 +143,13 @@ def bucketize(
     groups: List[Tuple[int, np.ndarray]] = []
     for n in sorted(set(sizes.tolist())):
         ids = np.nonzero(sizes == n)[0]
+        per = ids.size
         if max_bucket_obs and ids.size * n > max_bucket_obs:
-            per = max(max_bucket_obs // int(n), row_align)
+            per = max_bucket_obs // int(n)
+        if max_bucket_rows:
+            per = min(per, max_bucket_rows)
+        per = max(per, row_align)
+        if per < ids.size:
             for s in range(0, ids.size, per):
                 groups.append((n, ids[s:s + per]))
         else:
