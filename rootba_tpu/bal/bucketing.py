@@ -15,6 +15,7 @@ reference's static specializations), power-of-two padded buckets above.
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Tuple
 
 import numpy as np
@@ -98,7 +99,7 @@ def bucketize(
     pow2_from: int = 9,
     row_align: int = 8,
     max_bucket_obs: int = 4_000_000,
-    max_bucket_rows: int = 262_144,
+    max_bucket_rows: int = 0,
 ) -> BucketedProblem:
     """Group landmarks into obs-count buckets with padded SoA tensors.
 
@@ -112,13 +113,13 @@ def bucketize(
     comfortably: 4M slots = 2.1 GB padded (final-13682's n=8 class
     alone holds 18.7M obs = a 9.6 GB transient unsplit).
 
-    max_bucket_rows additionally caps the LANDMARK-row count per
-    bucket: the strip assemblies gather one table row per pair slot,
-    and row gathers run ~4 ns/row only while the source table has
-    <= ~256k rows, degrading to ~23-46 ns/row beyond ~1M (measured,
-    benchmarks/micro_gather_big.py + the r4 final-13682 stage2
-    profile, where 0.5-2M-row buckets put the whole pair pass in the
-    slow regime -- ~12 s of the 14 s prepare)."""
+    max_bucket_rows optionally caps the LANDMARK-row count per bucket
+    (0 = off, the default). Tried in r4 on the theory that >=1M-row
+    tables put the pair-pass gathers in the slow regime
+    (micro_gather_big.py): measured at final-13682 it made the solve
+    13% SLOWER (steady 17.1 -> 19.2 s/it) -- the per-group chunk-loop
+    fixed overhead from the multiplied group count exceeds any gather
+    saving. Kept as an experiment knob."""
     counts = problem.obs_per_landmark()
     if counts.min(initial=2) < 2:
         raise ValueError("landmarks must have >= 2 observations; "
@@ -193,8 +194,33 @@ def bucketize(
         cam_q0=problem.cam_q.copy(),
         cam_t0=problem.cam_t.copy(),
         cam_intr0=problem.cam_intr.copy(),
-        cam_csr=build_cam_csr(buckets, problem.num_cameras),
+        # lazy: the strips+BSR configurations never touch the CamCsr
+        # fallback, and its build alone is ~21 s of host time at
+        # final-13682 (r4 setup profile)
+        cam_csr=_LazyCamCsr(tuple(buckets), problem.num_cameras),
     )
+
+
+class _LazyCamCsr:
+    """Build-on-first-access CamCsr (duck-typed: .idx/.idx2)."""
+
+    def __init__(self, buckets, num_cameras: int):
+        self._buckets = buckets
+        self._n = num_cameras
+        self._v: CamCsr | None = None
+
+    def _get(self) -> CamCsr:
+        if self._v is None:
+            self._v = build_cam_csr(self._buckets, self._n)
+        return self._v
+
+    @property
+    def idx(self):
+        return self._get().idx
+
+    @property
+    def idx2(self):
+        return self._get().idx2
 
 
 def build_cam_csr(buckets, num_cameras: int, width: int = 64) -> CamCsr:
@@ -481,38 +507,67 @@ def build_pair_strips(buckets, num_cameras: int, width: int = 64,
     G = grid_n if grid_n is not None else N
 
     # collect per-pattern records; route small patterns to the
-    # per-observation leftover stream
-    recs = []  # big groups: (code_sorted, lm_sorted, swap_sorted)
-    group_meta = []
-    left = []  # small groups: (code, oi, oj) per slot
-    obs_off = 0
+    # per-observation leftover stream. The per-pattern work (masking,
+    # min/max, argsort) is embarrassingly parallel over the ~1000+
+    # patterns of a final-13682-sized problem and numpy's sort/where
+    # release the GIL, so it runs under a thread pool (measured ~40 s
+    # single-threaded at final-13682, the bulk of solver setup).
+    from concurrent.futures import ThreadPoolExecutor
+
+    bucket_offs = [0]
+    for b in buckets:
+        L, n = b.cam_idx.shape
+        bucket_offs.append(bucket_offs[-1] + L * n)
+    num_obs_slots = bucket_offs[-1]
+
+    tasks = []
     for bi, b in enumerate(buckets):
         L, n = b.cam_idx.shape
         iu, ju = np.triu_indices(n, k=1)
         for t in range(iu.size):
-            i, j = int(iu[t]), int(ju[t])
-            ci = b.cam_idx[:, i].astype(np.int64)
-            cj = b.cam_idx[:, j].astype(np.int64)
-            valid = b.mask[:, i] & b.mask[:, j]
-            lm = np.nonzero(valid)[0].astype(np.int64)
-            if lm.size == 0:
-                continue
-            a = np.minimum(ci[lm], cj[lm])
-            c = np.maximum(ci[lm], cj[lm])
-            swap = ci[lm] > cj[lm]
-            code = a * N + c
-            if lm.size >= min_group:
-                order = np.argsort(code, kind="stable")
-                recs.append((code[order], lm[order], swap[order]))
-                group_meta.append((bi, i, j, L))
-            else:
-                oi = obs_off + lm * n + i
-                oj = obs_off + lm * n + j
-                wi = np.where(swap, oj, oi)
-                wj = np.where(swap, oi, oj)
-                left.append((code, wi, wj))
-        obs_off += L * n
-    num_obs_slots = obs_off
+            tasks.append((bi, int(iu[t]), int(ju[t])))
+
+    def _pattern(task):
+        bi, i, j = task
+        b = buckets[bi]
+        L, n = b.cam_idx.shape
+        obs_off = bucket_offs[bi]
+        ci = b.cam_idx[:, i].astype(np.int64)
+        cj = b.cam_idx[:, j].astype(np.int64)
+        valid = b.mask[:, i] & b.mask[:, j]
+        lm = np.nonzero(valid)[0].astype(np.int64)
+        if lm.size == 0:
+            return None
+        a = np.minimum(ci[lm], cj[lm])
+        c = np.maximum(ci[lm], cj[lm])
+        swap = ci[lm] > cj[lm]
+        code = a * N + c
+        if lm.size >= min_group:
+            order = np.argsort(code, kind="stable")
+            return ("rec", (code[order], lm[order], swap[order]),
+                    (bi, i, j, L))
+        oi = obs_off + lm * n + i
+        oj = obs_off + lm * n + j
+        wi = np.where(swap, oj, oi)
+        wj = np.where(swap, oi, oj)
+        return ("left", (code, wi, wj), None)
+
+    with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) \
+            as pool:
+        results = list(pool.map(_pattern, tasks))
+
+    recs = []  # big groups: (code_sorted, lm_sorted, swap_sorted)
+    group_meta = []
+    left = []  # small groups: (code, oi, oj) per slot
+    for res in results:
+        if res is None:
+            continue
+        kind, payload, meta = res
+        if kind == "rec":
+            recs.append(payload)
+            group_meta.append(meta)
+        else:
+            left.append(payload)
 
     all_codes = [r[0] for r in recs] + [lv[0] for lv in left]
     all_codes = (np.concatenate(all_codes) if all_codes
@@ -520,19 +575,25 @@ def build_pair_strips(buckets, num_cameras: int, width: int = 64,
     unique = np.unique(all_codes)
     P = unique.size
 
-    lm_idx_groups, swap_groups, gb, gi, gj = [], [], [], [], []
-    row_pair = []  # pair id of each global run row, in emission order
-    for (code, lm, swap), (bi, i, j, L) in zip(recs, group_meta):
+    def _group_runs(args):
+        (code, lm, swap), (bi, i, j, L) = args
         pid = np.searchsorted(unique, code)
         (out_lm, out_sw), rp = _pad_runs(
             pid, width,
             (lm.astype(np.int64), L), (swap, False))
-        lm_idx_groups.append(out_lm.astype(np.int32))
-        swap_groups.append(out_sw.astype(bool))
-        gb.append(bi)
-        gi.append(i)
-        gj.append(j)
-        row_pair.append(rp)
+        return out_lm.astype(np.int32), out_sw.astype(bool), rp
+
+    with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) \
+            as pool:
+        run_results = list(pool.map(_group_runs,
+                                    zip(recs, group_meta)))
+
+    lm_idx_groups = [r[0] for r in run_results]
+    swap_groups = [r[1] for r in run_results]
+    gb = [m[0] for m in group_meta]
+    gi = [m[1] for m in group_meta]
+    gj = [m[2] for m in group_meta]
+    row_pair = [r[2] for r in run_results]
 
     # leftover per-observation stream (pair-sorted, width-padded)
     if left:

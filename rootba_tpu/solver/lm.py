@@ -131,13 +131,13 @@ class LinearizerBase:
         # see bucketing.CamCsr). Only on an unsharded single device: the
         # CSR gather crosses landmark shards, so mesh mode keeps
         # segment_sum, which GSPMD turns into local scatters + psum.
-        self.cam_csr = None
-        if mesh is None and options.reduction_alg != 0:
-            from rootba_tpu.solver.linearization import CamCsrIndex
-
-            self.cam_csr = CamCsrIndex(
-                idx=jnp.asarray(bp.cam_csr.idx),
-                idx2=jnp.asarray(bp.cam_csr.idx2))
+        # lazy: built on first access (the strips+BSR configurations
+        # assign self.cam_csr = None before touching it, skipping the
+        # ~21 s host-side CamCsr build at final-13682 scale)
+        self._cam_csr_cache = None
+        self._cam_csr_enabled = (mesh is None
+                                 and options.reduction_alg != 0)
+        self._bp_for_csr = bp
         if mesh is not None:
             from rootba_tpu.parallel.mesh import shard_bucket_index
 
@@ -266,6 +266,27 @@ class LinearizerBase:
         return lins, pose_scale, failures
 
     # -- interface -----------------------------------------------------
+    @property
+    def cam_csr(self):
+        if not self._cam_csr_enabled:
+            return None
+        if self._cam_csr_cache is None:
+            from rootba_tpu.solver.linearization import CamCsrIndex
+
+            host = self._bp_for_csr.cam_csr
+            self._cam_csr_cache = CamCsrIndex(
+                idx=jnp.asarray(host.idx),
+                idx2=jnp.asarray(host.idx2))
+        return self._cam_csr_cache
+
+    @cam_csr.setter
+    def cam_csr(self, v):
+        if v is None:
+            self._cam_csr_enabled = False
+        else:
+            self._cam_csr_cache = v
+            self._cam_csr_enabled = True
+
     def set_state(self, state: BAState):
         self.state = state
 
