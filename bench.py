@@ -123,7 +123,7 @@ def main():
                 os.path.abspath(__file__)), "BENCH_r*.json")),
             key=lambda f: int(_re.search(r"r(\d+)", f).group(1)))
         if prev_files:
-            prev = json.load(open(prev_files[-1])).get("parsed", {})
+            prev = json.load(open(prev_files[-1])).get("parsed") or {}
             checks = [("ladybug49_sqrt32_solve_time",
                        prev.get("value"), elapsed)]
             prev_suite = {(r["problem"], r["solver"]): r
@@ -151,6 +151,18 @@ def main():
     except Exception as e:
         print(f"regression gate skipped: {e}", file=sys.stderr)
 
+    # detail first, compact headline LAST: the driver records the tail
+    # of long output, and r3's multi-KB single line truncated into an
+    # unparseable "parsed": null -- the final line must stay small
+    print(json.dumps({
+        "detail": {
+            "suite": suite_rows,
+            "kernels": kernels,
+            "recorded_runs": recorded,
+        },
+    }))
+    venice = recorded.get("venice:SQUARE_ROOT", {})
+    final = recorded.get("final13682:SQUARE_ROOT", {})
     print(json.dumps({
         "metric": "ladybug49_sqrt32_solve_time",
         "value": round(elapsed, 4),
@@ -158,9 +170,8 @@ def main():
         "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
         "final_cost": round(final_cost, 2),
         "lm_iters": int(out[4]) - 1,
-        "suite": suite_rows,
-        "kernels": kernels,
-        "recorded_runs": recorded,
+        "venice_steady_s_per_it": venice.get("steady_s_per_it"),
+        "final13682_steady_s_per_it": final.get("steady_s_per_it"),
         "regressions": regressions,
     }))
 
