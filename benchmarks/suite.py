@@ -169,7 +169,10 @@ def run_problem(name, solver="SQUARE_ROOT", iters=20, overrides=None):
 
     mits = s3.iterations[2:]
     stage_times = {
-        "stage1": med([i.stage1_time_in_seconds for i in mits]),
+        # stage1 runs once per linearization point -- backtracking
+        # iterations carry 0; median over the real spans only
+        "stage1": med([i.stage1_time_in_seconds for i in mits
+                       if i.stage1_time_in_seconds > 0]),
         "prepare": med([max(i.prepare_time_in_seconds,
                             i.stage2_time_in_seconds) for i in mits]),
         "lsolve": med([i.solve_reduced_system_time_in_seconds

@@ -249,3 +249,25 @@ def test_numpy_lm_step_comparable():
           if it.step_is_successful]
     for a, b in zip(c3, c4):
         assert abs(a - b) / max(a, 1.0) < 5e-3, (c3, c4)
+
+
+def test_measured_timing_mode():
+    """timing_mode=measured must produce real per-stage spans on every
+    iteration (timing_attributed False, nonzero stage fields) -- the
+    reference's per-iteration timer discipline (ba_log.hpp:205-231)."""
+    p = fresh_problem()
+    s = bundle_adjust(p, SolverOptions(
+        max_num_iterations=5, verbosity_level=0, bucket_pow2_from=4,
+        timing_mode="measured"))
+    its = [it for it in s.iterations if it.iteration >= 1]
+    assert its
+    for it in its:
+        assert not it.timing_attributed
+    # at least one iteration carries a full measured split
+    full = [it for it in its
+            if it.solve_reduced_system_time_in_seconds > 0
+            and it.back_substitution_time_in_seconds > 0
+            and it.residual_evaluation_time_in_seconds > 0]
+    assert full, [vars(i) for i in its[:2]]
+    # stage1 measured on iterations that linearized
+    assert any(it.stage1_time_in_seconds > 0 for it in its)
