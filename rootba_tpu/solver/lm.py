@@ -314,7 +314,7 @@ class LinearizerBase:
         mode = getattr(self, "_attempt_mode", "full")
         if mode == "full":
             try:
-                return self._attempt_full(lam)
+                return self._try_attempt(self._attempt_full, lam)
             except jax.errors.JaxRuntimeError as e:
                 # the one-dispatch program can exceed the compile
                 # service's memory at very large problem sizes where
@@ -324,11 +324,34 @@ class LinearizerBase:
                 self._note_fallback("half", e)
         if mode == "half":
             try:
-                return self._attempt_half(lam)
+                return self._try_attempt(self._attempt_half, lam)
             except jax.errors.JaxRuntimeError as e:
                 self._attempt_mode = "separate"
                 self._note_fallback("separate", e)
         return self._attempt_calibrated(lam)
+
+    _TRANSIENT_ERRORS = ("response body closed", "read body",
+                         "DEADLINE_EXCEEDED", "UNAVAILABLE",
+                         "Connection reset", "Connection refused",
+                         "Socket closed")
+
+    def _try_attempt(self, fn, lam):
+        """Run a fused-attempt mode, retrying ONCE on transient
+        compile-service/transport errors -- a dropped remote-compile
+        connection is not a program-too-big signal and must not
+        permanently degrade the attempt mode (observed at final-13682:
+        one 'response body closed' rerouted the whole run through the
+        slow separate path)."""
+        try:
+            return fn(lam)
+        except jax.errors.JaxRuntimeError as e:
+            msg = str(e)
+            if not any(t in msg for t in self._TRANSIENT_ERRORS):
+                raise
+            print(f"[rootba_tpu] transient compile/transport error, "
+                  f"retrying attempt once: "
+                  f"{msg.splitlines()[0][:160]}", flush=True)
+            return fn(lam)
 
     def _note_fallback(self, mode, e):
         # always surface the original cause: the catch treats any
