@@ -463,11 +463,15 @@ def _cached_diag81(lin: FlatLin, Wa, buckets, cam_strips):
 
 # above this many obs slots, the explicit-RCS assembly switches to the
 # W-free sandwich form (sqrt_ww_pair_strips): holding the [sum L, n*27]
-# W tables costs 108 B/slot of HBM (3.6 GB at final-13682 = a measured
-# runtime OOM) while the sandwich trades them for a second slot gather
-# (13% slower at venice scale). Module global so tests can force the
-# path at toy size.
-_SANDWICH_MIN_SLOTS = 16_000_000
+# W tables costs 108 B/slot of HBM (3.6 GB at final-13682) while the
+# sandwich trades them for a second slot gather per pair. r3 set the
+# crossover at 16M slots after a measured OOM; with the r4 memory
+# layout (Jl replaced by same-size Q0R0, CamCsr dropped, leaner
+# stage2) final-13682's 33.6M slots FIT on the W path and run 1.65x
+# faster (10.4 vs 17.2 s/LM-iter, measured back-to-back), so the
+# sandwich now starts beyond that. Module global so tests can force
+# the path at toy size.
+_SANDWICH_MIN_SLOTS = 48_000_000
 
 
 def _sandwich_rows(lin, stage2, buckets, pairs, cam_strips):
