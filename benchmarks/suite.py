@@ -54,14 +54,27 @@ def make_problem(name, seed=17):
     return p
 
 
-def time_to_threshold_row(summary, tau=TAU):
+def cost_trajectory(summary):
     # only successful iterations carry a filled cost: invalid steps
     # (NaN increment rejected by the LM driver) leave the default
     # zero-cost record, which must not poison min() (r3 venice SC row
     # recorded threshold = tau*initial because of one such step)
-    pairs = [(it.cost.all.error, it.cumulative_time_in_seconds)
-             for it in summary.iterations
-             if it.step_is_successful and it.cost.all.num_obs > 0]
+    return [(it.cost.all.error, it.cumulative_time_in_seconds)
+            for it in summary.iterations
+            if it.step_is_successful and it.cost.all.num_obs > 0]
+
+
+def time_to_threshold_row(summary, tau=TAU):
+    """Per-run threshold (best = this run's own minimum). Kept for
+    single-run reporting; the recorded rows additionally get the
+    reference's CROSS-solver threshold via
+    recompute_cross_solver_thresholds (performance_profiles.py:19-25
+    thresholds against the best over all experiments)."""
+    pairs = cost_trajectory(summary)
+    if not pairs:
+        # immediate divergence / every step rejected: record as
+        # unsolved instead of crashing the suite row
+        return float("inf"), float("inf")
     costs = [c for c, _ in pairs]
     initial, best = costs[0], min(costs)
     thresh = best + tau * (initial - best)
@@ -69,6 +82,29 @@ def time_to_threshold_row(summary, tau=TAU):
         if c <= thresh:
             return t, thresh
     return float("inf"), thresh
+
+
+def recompute_cross_solver_thresholds(results, tau=TAU):
+    """The reference metric: for each problem, threshold = best cost
+    across ALL recorded solver runs + tau*(initial - best)
+    (/root/reference/python/rootba/latex/performance_profiles.py:19-25).
+    Recomputed over every stored row that carries a trajectory, each
+    time the suite writes RESULTS.json."""
+    by_problem = {}
+    for key, row in results.get("problems", {}).items():
+        traj = row.get("trajectory")
+        if traj:
+            by_problem.setdefault(row["problem"], []).append(row)
+    for name, rows in by_problem.items():
+        best = min(min(c for c, _ in r["trajectory"]) for r in rows)
+        initial = min(r["trajectory"][0][0] for r in rows)
+        thresh = best + tau * (initial - best)
+        for r in rows:
+            t_cross = next((t for c, t in r["trajectory"]
+                            if c <= thresh), None)
+            r["cost_threshold_cross_solver"] = round(thresh, 1)
+            r["time_to_threshold_cross_solver_s"] = (
+                round(t_cross, 4) if t_cross is not None else None)
 
 
 def protocol_overrides(solver):
@@ -195,6 +231,8 @@ def run_problem(name, solver="SQUARE_ROOT", iters=20, overrides=None):
                                         if t_thresh != float("inf")
                                         else None),
         "cost_threshold": round(thresh, 1),
+        "trajectory": [[round(c, 1), round(t, 4)]
+                       for c, t in cost_trajectory(s2)],
         "timing_attributed": attributed,
         "stage_times_measured_s": stage_times,
         "total_time_measured_mode_s": round(total_measured, 4),
@@ -371,6 +409,7 @@ def main():
             results.setdefault("problems", {})[
                 f"{name}:{solver}"] = row
             print(json.dumps(row, indent=1), flush=True)
+    recompute_cross_solver_thresholds(results)
     with open(RESULTS_PATH, "w") as fp:
         json.dump(results, fp, indent=1, sort_keys=True)
     print(f"saved {RESULTS_PATH}")

@@ -202,16 +202,27 @@ def bucketize(
 
 
 class _LazyCamCsr:
-    """Build-on-first-access CamCsr (duck-typed: .idx/.idx2)."""
+    """Build-on-first-access CamCsr (duck-typed: .idx/.idx2).
+
+    Only FlatSqrtLinearizer's strips+BSR configuration avoids the
+    build entirely; the SC/PowerSC linearizers touch cam_csr while
+    constructing their consts, so for them lazy = deferred, not saved.
+    The lock keeps concurrent first accesses (e.g. benchmark threads)
+    from building the ~21 s table twice."""
 
     def __init__(self, buckets, num_cameras: int):
+        import threading
+
         self._buckets = buckets
         self._n = num_cameras
         self._v: CamCsr | None = None
+        self._lock = threading.Lock()
 
     def _get(self) -> CamCsr:
         if self._v is None:
-            self._v = build_cam_csr(self._buckets, self._n)
+            with self._lock:
+                if self._v is None:
+                    self._v = build_cam_csr(self._buckets, self._n)
         return self._v
 
     @property

@@ -352,6 +352,19 @@ class SolverOptions:
                "(mirrors the reference's static-size landmark blocks 2..8, "
                "landmark_block.cpp:48-83)")
 
+    def __post_init__(self):
+        # free-form string options: a typo must error, not silently
+        # fall back to default behavior
+        allowed = {"baseline_method": ("trf", "lm"),
+                   "timing_mode": ("fast", "measured"),
+                   "lm_loop": ("auto", "fused", "host")}
+        for name, values in allowed.items():
+            v = getattr(self, name, None)
+            if v is not None and v not in values:
+                raise ValueError(
+                    f"solver option '{name}={v!r}' is not one of "
+                    f"{values}")
+
     def use_projection_validity_check(self) -> bool:
         return self.optimized_cost != OptimizedCost.ERROR
 

@@ -319,13 +319,20 @@ class LinearizerBase:
                 # the one-dispatch program can exceed the compile
                 # service's memory at very large problem sizes where
                 # the separate stages still compile; degrade to a
-                # two-dispatch split (stage2 | lsolve+apply+error)
+                # two-dispatch split (stage2 | lsolve+apply+error).
+                # Only capacity signals degrade -- a genuine numerical
+                # runtime failure re-raises with its original cause
+                # instead of silently rerouting through slower modes
+                if not self._is_capacity_error(e):
+                    raise
                 self._attempt_mode = mode = "half"
                 self._note_fallback("half", e)
         if mode == "half":
             try:
                 return self._try_attempt(self._attempt_half, lam)
             except jax.errors.JaxRuntimeError as e:
+                if not self._is_capacity_error(e):
+                    raise
                 self._attempt_mode = "separate"
                 self._note_fallback("separate", e)
         return self._attempt_calibrated(lam)
@@ -334,6 +341,20 @@ class LinearizerBase:
                          "DEADLINE_EXCEEDED", "UNAVAILABLE",
                          "Connection reset", "Connection refused",
                          "Socket closed")
+
+    # compile-size / device-capacity signals that justify degrading to
+    # a smaller program split; anything else is a real failure
+    _CAPACITY_ERRORS = ("RESOURCE_EXHAUSTED", "Out of memory",
+                        "out of memory", "OOM", "oom",
+                        "Attempting to allocate",
+                        "exceeds the limit", "too large",
+                        "Compilation failure", "INTERNAL: Compile",
+                        "protobuf", "message size")
+
+    @classmethod
+    def _is_capacity_error(cls, e) -> bool:
+        msg = str(e)
+        return any(t in msg for t in cls._CAPACITY_ERRORS)
 
     def _try_attempt(self, fn, lam):
         """Run a fused-attempt mode, retrying ONCE on transient

@@ -50,8 +50,10 @@ def iteration_from_dict(d: dict):
 def save_checkpoint(path: str, state, lam: float, lambda_vee: float,
                     it: int, iteration_summaries: List[dict]) -> None:
     """Atomically write the LM driver state. `state` is a BAState
-    (CamState + per-bucket landmark positions, einsum [L,3] or planar
-    [3,L] layout -- saved as-is).
+    (CamState + per-bucket landmark positions in the [L,3]
+    leading-landmark-axis layout -- the planar [3,L] layouts were
+    retired in lm.py, and the multi-process shard/gather path below
+    assumes the landmark axis leads).
 
     Multi-process: the landmark shards are allgathered to every host
     (a collective -- ALL processes must call this), then process 0

@@ -271,3 +271,55 @@ def test_measured_timing_mode():
     assert full, [vars(i) for i in its[:2]]
     # stage1 measured on iterations that linearized
     assert any(it.stage1_time_in_seconds > 0 for it in its)
+
+
+def test_attempt_ladder_failure_causes():
+    """Only capacity/compile-size errors degrade the fused-attempt
+    mode; a genuine numerical runtime failure re-raises with its
+    original cause instead of silently rerouting through the slower
+    half/separate splits (reference treats numerical failure as fatal,
+    linearizor_qr.cpp:96-97)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rootba_tpu.bal.bucketing import bucketize
+    from rootba_tpu.solver.lm import create_linearizer
+
+    p = fresh_problem()
+    opts = SolverOptions(max_num_iterations=2, verbosity_level=0,
+                         bucket_pow2_from=4, use_double=False)
+    bp = bucketize(p, pow2_from=opts.bucket_pow2_from)
+    lin = create_linearizer(bp, opts, jnp.float32)
+    # index 0 would take the calibrated path (interval=8); skip it
+    lin._attempt_idx = 0
+
+    def numerical_failure(lam):
+        raise jax.errors.JaxRuntimeError(
+            "INTERNAL: NaN detected in buffer during execution")
+
+    lin._attempt_full = numerical_failure
+    with pytest.raises(jax.errors.JaxRuntimeError, match="NaN detected"):
+        lin.attempt(0.1)
+    assert lin._attempt_mode == "full"  # no silent rerouting
+
+    def capacity_failure(lam):
+        raise jax.errors.JaxRuntimeError(
+            "RESOURCE_EXHAUSTED: Attempting to allocate 99.90G")
+
+    hit = []
+    lin._attempt_idx = 0
+    lin._attempt_full = capacity_failure
+    lin._attempt_half = lambda lam: hit.append(lam) or "half-result"
+    assert lin.attempt(0.1) == "half-result"
+    assert lin._attempt_mode == "half" and hit == [0.1]
+
+
+def test_string_option_validation():
+    """Typos in the free-form string options must raise, not silently
+    fall back to default behavior (ADVICE r4)."""
+    with pytest.raises(ValueError, match="timing_mode"):
+        SolverOptions(timing_mode="measure")
+    with pytest.raises(ValueError, match="baseline_method"):
+        SolverOptions(baseline_method="LM")
+    with pytest.raises(ValueError, match="lm_loop"):
+        SolverOptions(lm_loop="device")
