@@ -26,11 +26,16 @@ BASELINE_SECONDS = 0.32
 
 
 def make_problem(seed: int):
+    from benchmarks.scale_bench import STRUCTURE
     from rootba_tpu.bal.synthetic import generate_synthetic_bal
 
+    # round 5: clustered heavy-tail covisibility (the structurally
+    # honest twin; scale_bench.STRUCTURE documents the calibration) --
+    # the legacy consecutive-ring band was materially easier than real
+    # BAL data (VERDICT r4)
     p = generate_synthetic_bal(
         num_cams=49, num_lms=7776, mean_obs_per_lm=31843 / 7776,
-        pixel_noise=1.0, seed=seed)
+        pixel_noise=1.0, seed=seed, **STRUCTURE["ladybug"])
     p.normalize(100.0)
     p.perturb(0.0, 0.01, 0.01, 38401)
     p.filter_obs(0.1)
@@ -124,8 +129,12 @@ def main():
             key=lambda f: int(_re.search(r"r(\d+)", f).group(1)))
         if prev_files:
             prev = json.load(open(prev_files[-1])).get("parsed") or {}
-            checks = [("ladybug49_sqrt32_solve_time",
-                       prev.get("value"), elapsed)]
+            checks = []
+            # comparable only on the same synthetic structure (r5
+            # switched every row to the clustered heavy-tail twins)
+            if prev.get("structure") == "clustered":
+                checks.append(("ladybug49_sqrt32_solve_time",
+                               prev.get("value"), elapsed))
             prev_suite = {(r["problem"], r["solver"]): r
                           for r in prev.get("suite", [])}
             for r in suite_rows:
@@ -167,6 +176,7 @@ def main():
         "metric": "ladybug49_sqrt32_solve_time",
         "value": round(elapsed, 4),
         "unit": "s",
+        "structure": "clustered",
         "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
         "final_cost": round(final_cost, 2),
         "lm_iters": int(out[4]) - 1,

@@ -68,12 +68,29 @@ t_warm = time.monotonic() - t0
 its = s2.iterations
 per_it = sorted(it.iteration_time_in_seconds for it in its[2:])
 steady = per_it[len(per_it) // 2] if per_it else t_warm
+
+# per-device resident bytes: the quantity that maps to real chips
+# (replicated camera-axis arrays count fully on every device; the
+# landmark-sharded bucket tensors count 1/N each). Measured over all
+# live device arrays after the warm solve.
+dev0 = jax.devices()[0]
+dev0_bytes = 0
+total_bytes = 0
+for x in jax.live_arrays():
+    try:
+        total_bytes += x.nbytes
+        dev0_bytes += sum(s.data.nbytes for s in x.addressable_shards
+                          if s.device == dev0)
+    except Exception:
+        pass
 print("RESULT " + json.dumps({
     "devices": ndev,
     "warm_solve_s": round(t_warm, 3),
     "steady_s_per_it": round(steady, 4),
     "final_cost": round(s2.final_cost.all.error, 1),
     "lm_iters": len(its) - 1,
+    "per_device_mb": round(dev0_bytes / 1e6, 1),
+    "total_live_mb": round(total_bytes / 1e6, 1),
 }), flush=True)
 """
 

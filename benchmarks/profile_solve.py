@@ -17,14 +17,12 @@ import jax
 import jax.numpy as jnp
 
 
-def top_ops(logdir, k=30):
+def op_totals(logdir):
+    """Op name -> total self-time ms over all device planes."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
 
     files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                       recursive=True)
-    if not files:
-        print("no xplane files under", logdir)
-        return
     totals = {}
     for f in files:
         xs = xplane_pb2.XSpace()
@@ -38,28 +36,100 @@ def top_ops(logdir, k=30):
                 for ev in line.events:
                     name = ev_names.get(ev.metadata_id, "?")
                     totals[name] = totals.get(name, 0) + ev.duration_ps
-    for name, ps in sorted(totals.items(), key=lambda x: -x[1])[:k]:
-        print(f"{ps / 1e9:10.3f} ms  {name[:110]}")
+    return {n: ps / 1e9 for n, ps in totals.items()}
 
 
-def main():
-    name = sys.argv[1] if len(sys.argv) > 1 else "trafalgar"
-    mode = sys.argv[2] if len(sys.argv) > 2 else "auto"
+def top_ops(logdir, k=30):
+    totals = op_totals(logdir)
+    if not totals:
+        print("no xplane files under", logdir)
+        return
+    for name, ms in sorted(totals.items(), key=lambda x: -x[1])[:k]:
+        print(f"{ms:10.3f} ms  {name[:110]}")
 
-    from benchmarks.scale_bench import SIZES
+
+def profile_stages(name="trafalgar", reps=20, record=True):
+    """Op-level breakdown of stage1 and stage2 separately (VERDICT r4
+    item 3: explain the stage roofline gap per op). Traces `reps`
+    dispatches of each stage, prints the top ops, and records the
+    table (top 12 ops + dispatch counts) under kernels.<name>.op_table
+    in RESULTS.json."""
+    from benchmarks.suite import RESULTS_PATH, make_problem
     from rootba_tpu.bal.bucketing import bucketize
-    from rootba_tpu.bal.synthetic import generate_synthetic_bal
     from rootba_tpu.config.options import SolverOptions
     from rootba_tpu.solver.lm import create_linearizer, initial_state
     from rootba_tpu.utils.jax_setup import enable_compilation_cache, sync
 
     enable_compilation_cache()
-    nc, nl, nobs = SIZES[name]
-    p = generate_synthetic_bal(num_cams=nc, num_lms=nl,
-                               mean_obs_per_lm=nobs / nl, seed=17)
-    p.normalize(100.0)
-    p.perturb(0.0, 0.01, 0.01, 38401)
-    p.filter_obs(0.1)
+    p = make_problem(name)
+    opts = SolverOptions(use_double=False, verbosity_level=0)
+    bp = bucketize(p, pow2_from=opts.bucket_pow2_from)
+    lin = create_linearizer(bp, opts, "float32")
+    state = initial_state(bp, "float32")
+    lam = jnp.asarray(1e-4, jnp.float32)
+
+    lins, pose_scale, _ = sync(lin._stage1_fn(lin.consts, state.cams,
+                                              state.lm_ps))
+    sync(lin._stage2_fn(lin.consts, lins, lam))  # warm
+
+    tables = {}
+    for stage, run in [
+        ("stage1", lambda i: lin._stage1_fn(lin.consts, state.cams,
+                                            state.lm_ps)),
+        ("stage2", lambda i: lin._stage2_fn(lin.consts, lins,
+                                            lam * (1.0 + 1e-6 * i))),
+    ]:
+        logdir = f"/tmp/prof_stage_{name}_{stage}"
+        os.system(f"rm -rf {logdir}")
+        with jax.profiler.trace(logdir):
+            for i in range(reps):
+                sync(run(i))
+        totals = op_totals(logdir)
+        rows = sorted(totals.items(), key=lambda x: -x[1])
+        total_ms = sum(ms for _, ms in rows)
+        print(f"=== {stage} top ops ({reps} dispatches, "
+              f"{total_ms / reps:.2f} ms/dispatch device total) ===")
+        for n, ms in rows[:15]:
+            print(f"{ms / reps:9.3f} ms  {100 * ms / total_ms:5.1f}%  "
+                  f"{n[:100]}")
+        tables[stage] = {
+            "device_ms_per_dispatch": round(total_ms / reps, 3),
+            "num_ops": len(rows),
+            "top_ops": [{"op": n[:100], "ms": round(ms / reps, 4),
+                         "pct": round(100 * ms / total_ms, 1)}
+                        for n, ms in rows[:12]],
+        }
+    if record:
+        import json as _json
+        import time as _time
+
+        results = {}
+        if os.path.exists(RESULTS_PATH):
+            results = _json.load(open(RESULTS_PATH))
+        k = results.setdefault("kernels", {}).setdefault(name, {})
+        k["op_table"] = dict(tables,
+                             recorded=_time.strftime("%Y-%m-%dT%H:%M:%S"))
+        with open(RESULTS_PATH, "w") as fp:
+            _json.dump(results, fp, indent=1, sort_keys=True)
+        print(f"saved op_table to {RESULTS_PATH}")
+    return tables
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "stages":
+        profile_stages(sys.argv[2] if len(sys.argv) > 2 else "trafalgar")
+        return
+    name = sys.argv[1] if len(sys.argv) > 1 else "trafalgar"
+    mode = sys.argv[2] if len(sys.argv) > 2 else "auto"
+
+    from benchmarks.suite import make_problem
+    from rootba_tpu.bal.bucketing import bucketize
+    from rootba_tpu.config.options import SolverOptions
+    from rootba_tpu.solver.lm import create_linearizer, initial_state
+    from rootba_tpu.utils.jax_setup import enable_compilation_cache, sync
+
+    enable_compilation_cache()
+    p = make_problem(name)
     opts = SolverOptions(use_double=False, verbosity_level=0,
                          sqrt_rcs_mode=mode)
     bp = bucketize(p, pow2_from=opts.bucket_pow2_from)

@@ -31,27 +31,51 @@ RESULTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 TAU = 0.01
 
 
-def make_problem(name, seed=17):
-    """Synthetic problem of the named dataset's size, preprocessed per
-    the CVPR'21 protocol; cached as npz (final-13682 generation alone
-    is ~5 min of host time)."""
-    from benchmarks.scale_bench import SIZES
+def make_problem(name, seed=17, with_stats=False):
+    """Synthetic problem of the named dataset's size with the
+    per-dataset clustered-covisibility calibration (scale_bench.
+    STRUCTURE), preprocessed per the CVPR'21 protocol; cached as npz
+    (final-13682 generation alone is minutes of host time). The
+    realized structure stats (track tail, camera-pair density) are
+    cached alongside and returned with with_stats=True."""
+    from benchmarks.scale_bench import SIZES, STRUCTURE
     from rootba_tpu.bal.problem import BalProblem
-    from rootba_tpu.bal.synthetic import generate_synthetic_bal
+    from rootba_tpu.bal.synthetic import (
+        generate_synthetic_bal,
+        measure_structure,
+    )
 
-    cache = f"/tmp/rootba_problems/{name}-s{seed}.npz"
+    skw = STRUCTURE.get(name, {})
+    import hashlib
+
+    tag = skw.get("structure", "ring")
+    if skw:
+        params = hashlib.sha1(
+            json.dumps(skw, sort_keys=True).encode()).hexdigest()[:8]
+        tag = f"{tag}-{params}"
+    cache = f"/tmp/rootba_problems/{name}-{tag}-s{seed}.npz"
+    stats_cache = cache.replace(".npz", ".stats.json")
     if os.path.exists(cache):
-        return BalProblem.load_npz(cache)
+        p = BalProblem.load_npz(cache)
+        if not with_stats:
+            return p
+        if os.path.exists(stats_cache):
+            return p, json.load(open(stats_cache))
+        stats = dict(measure_structure(p), **skw)
+        json.dump(stats, open(stats_cache, "w"))
+        return p, stats
     nc, nl, nobs = SIZES[name]
     p = generate_synthetic_bal(num_cams=nc, num_lms=nl,
                                mean_obs_per_lm=nobs / nl,
-                               pixel_noise=1.0, seed=seed)
+                               pixel_noise=1.0, seed=seed, **skw)
     p.normalize(100.0)
     p.perturb(0.0, 0.01, 0.01, 38401)
     p.filter_obs(0.1)
     os.makedirs(os.path.dirname(cache), exist_ok=True)
     p.save_npz(cache)
-    return p
+    stats = dict(measure_structure(p), **skw)
+    json.dump(stats, open(stats_cache, "w"))
+    return (p, stats) if with_stats else p
 
 
 def cost_trajectory(summary):
@@ -132,7 +156,7 @@ def run_problem(name, solver="SQUARE_ROOT", iters=20, overrides=None):
     from rootba_tpu.log.summary import SolverSummary
     from rootba_tpu.solver.lm import create_linearizer, optimize_lm
 
-    p = make_problem(name)
+    p, pstats = make_problem(name, with_stats=True)
     opts = SolverOptions(
         use_double=False, max_num_iterations=iters,
         function_tolerance=0.0, verbosity_level=0,
@@ -233,6 +257,7 @@ def run_problem(name, solver="SQUARE_ROOT", iters=20, overrides=None):
         "cost_threshold": round(thresh, 1),
         "trajectory": [[round(c, 1), round(t, 4)]
                        for c, t in cost_trajectory(s2)],
+        "problem_structure": pstats,
         "timing_attributed": attributed,
         "stage_times_measured_s": stage_times,
         "total_time_measured_mode_s": round(total_measured, 4),

@@ -727,3 +727,54 @@ def test_chunked_error_eval_equivalence(synthetic_problem, monkeypatch):
                                    rtol=1e-12)
         np.testing.assert_allclose(float(b.residual_sum),
                                    float(a.residual_sum), rtol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def wide_bucket_problem():
+    """Heavy-tailed clustered problem whose longest tracks land in a
+    pow2 bucket of width >= 256 (the W_BUILD_MAX_N Pallas-gate
+    fallback, wide-gather regimes, and pow2 padding paths the legacy
+    ring fixtures never reached; the reference handles unbounded nobs
+    via dynamic landmark blocks, landmark_block_dynamic.hpp:49-100)."""
+    from rootba_tpu.bal.synthetic import generate_synthetic_bal
+
+    p = generate_synthetic_bal(
+        num_cams=280, num_lms=420, mean_obs_per_lm=11.0, seed=3,
+        structure="clustered", track_sigma=1.8, window_stretch=2.0,
+        p_far=0.03)
+    p.normalize(100.0)
+    p.perturb(0.0, 0.01, 0.01, 38401)
+    p.filter_obs(0.1)
+    return p
+
+
+def test_wide_bucket_equivalence(wide_bucket_problem, dtype):
+    """Flat and einsum sqrt layouts agree through stage1/stage2/solve/
+    apply on a problem with a >=256-wide bucket."""
+    bp = bucketize(wide_bucket_problem, pow2_from=9)
+    assert max(b.n_obs for b in bp.buckets) >= 256, \
+        sorted({b.n_obs for b in bp.buckets})
+    ref = _one_solve(bp, "einsum", 1, dtype.type)
+    got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="implicit")
+    # f32: 512-wide reductions sum in different orders across the two
+    # layouts and CG amplifies the rounding; f64 pins exactness
+    rtol = 3e-3 if dtype.itemsize == 4 else 1e-10
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (wide-bucket flat vs einsum)")
+
+
+def test_wide_bucket_bsr_vs_dense(wide_bucket_problem, dtype):
+    """BSR RCS assembly/matvec == dense mode at >=256-wide buckets
+    (wide tracks make every camera pair within a track a BSR block;
+    this problem's pair graph is ~75% dense)."""
+    bp = bucketize(wide_bucket_problem, pow2_from=9)
+    ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pallas_cg="off")
+    got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="bsr")
+    rtol = 2e-3 if dtype.itemsize == 4 else 1e-9
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (wide-bucket bsr vs dense)")
