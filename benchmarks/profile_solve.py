@@ -48,7 +48,8 @@ def top_ops(logdir, k=30):
         print(f"{ms:10.3f} ms  {name[:110]}")
 
 
-def profile_stages(name="trafalgar", reps=20, record=True):
+def profile_stages(name="trafalgar", reps=20, record=True,
+                   solver="SQUARE_ROOT", **opt_overrides):
     """Op-level breakdown of stage1 and stage2 separately (VERDICT r4
     item 3: explain the stage roofline gap per op). Traces `reps`
     dispatches of each stage, prints the top ops, and records the
@@ -56,13 +57,14 @@ def profile_stages(name="trafalgar", reps=20, record=True):
     in RESULTS.json."""
     from benchmarks.suite import RESULTS_PATH, make_problem
     from rootba_tpu.bal.bucketing import bucketize
-    from rootba_tpu.config.options import SolverOptions
+    from rootba_tpu.config.options import SolverOptions, SolverType
     from rootba_tpu.solver.lm import create_linearizer, initial_state
     from rootba_tpu.utils.jax_setup import enable_compilation_cache, sync
 
     enable_compilation_cache()
     p = make_problem(name)
-    opts = SolverOptions(use_double=False, verbosity_level=0)
+    opts = SolverOptions(use_double=False, verbosity_level=0,
+                         solver_type=SolverType[solver], **opt_overrides)
     bp = bucketize(p, pow2_from=opts.bucket_pow2_from)
     lin = create_linearizer(bp, opts, "float32")
     state = initial_state(bp, "float32")
@@ -79,7 +81,7 @@ def profile_stages(name="trafalgar", reps=20, record=True):
         ("stage2", lambda i: lin._stage2_fn(lin.consts, lins,
                                             lam * (1.0 + 1e-6 * i))),
     ]:
-        logdir = f"/tmp/prof_stage_{name}_{stage}"
+        logdir = f"/tmp/prof_stage_{name}_{solver}_{stage}"
         os.system(f"rm -rf {logdir}")
         with jax.profiler.trace(logdir):
             for i in range(reps):
@@ -107,8 +109,10 @@ def profile_stages(name="trafalgar", reps=20, record=True):
         if os.path.exists(RESULTS_PATH):
             results = _json.load(open(RESULTS_PATH))
         k = results.setdefault("kernels", {}).setdefault(name, {})
-        k["op_table"] = dict(tables,
-                             recorded=_time.strftime("%Y-%m-%dT%H:%M:%S"))
+        key = ("op_table" if solver == "SQUARE_ROOT"
+               else f"op_table_{solver.lower()}")
+        k[key] = dict(tables,
+                      recorded=_time.strftime("%Y-%m-%dT%H:%M:%S"))
         with open(RESULTS_PATH, "w") as fp:
             _json.dump(results, fp, indent=1, sort_keys=True)
         print(f"saved op_table to {RESULTS_PATH}")

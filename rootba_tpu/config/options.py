@@ -347,6 +347,13 @@ class SolverOptions:
                    "rho step-acceptance test. No effect under "
                    "use_double; the VMEM Pallas CG kernel keeps plain "
                    "f32 dots (small on-chip systems)")
+    bsr_pack_max_gb: float = opt(
+        4.0, help="BSR CG: pack the run-major block table (a full "
+                  "second copy of the [2P, 81] RCS blocks) only while "
+                  "it stays under this many GB -- 3.5x faster CG "
+                  "iterations at venice scale, an HBM OOM at "
+                  "final-13682's clustered pair density. Above the "
+                  "budget the matvec gathers blocks per iteration")
     bucket_pow2_from: int = opt(
         9, help="bucket obs-counts exactly up to this, then pad to pow2 "
                "(mirrors the reference's static-size landmark blocks 2..8, "

@@ -310,12 +310,13 @@ def sc_assemble_dense(lins, buckets, pair_csr, cam_flat, cam_csr, lam,
 
 
 def sc_assemble_bsr(lins, buckets, pair_idx, cam_flat, cam_csr, lam,
-                    num_cameras, cam_strips=None):
+                    num_cameras, cam_strips=None, symmetric=False):
     """Block-sparse SC assembly (same H as sc_assemble_dense, no
     densify): pair block (c_i, c_j) = -T_i' Hll^-1 T_j with
     T = Jl'Jp. For camera counts whose dense [9G, 9G] system exceeds
     HBM (final-13682). Returns (blocks2, diag, b, Hll_invs) with
-    blocks2/diag as in linearization.assemble_rcs_bsr."""
+    blocks2/diag as in linearization.assemble_rcs_bsr (strict-pair
+    half table with symmetric=True)."""
     from rootba_tpu.solver.linearization import assemble_rcs_bsr
 
     b, Hll_invs = sc_rhs_and_hll(lins, buckets, lam, num_cameras,
@@ -324,7 +325,7 @@ def sc_assemble_bsr(lins, buckets, pair_idx, cam_flat, cam_csr, lam,
     blocks2, diag = assemble_rcs_bsr(
         HT, T, [(Jp, Jp, 1.0), (HT, T, -1.0)],
         cam_flat, cam_csr, pair_idx, lam, num_cameras,
-        buckets=buckets, cam_strips=cam_strips)
+        buckets=buckets, cam_strips=cam_strips, symmetric=symmetric)
     return blocks2, diag, b, Hll_invs
 
 
@@ -500,6 +501,19 @@ class SCLinearizer(LinearizerBase):
     # (linearizor_sc.cpp get_Hb span)
     prepare_field = "prepare_time_in_seconds"
 
+    def _bsr_symmetric(self, bsr) -> bool:
+        """Static half-storage decision (see
+        linearization.make_bsr_matvec)."""
+        if bsr is None:
+            return False
+        import jax.numpy as _jnp
+
+        from rootba_tpu.solver.linearization import bsr_symmetric_fits
+
+        return bsr_symmetric_fits(
+            bsr, _jnp.dtype(self.dtype).itemsize,
+            int(self.options.bsr_pack_max_gb * (1 << 30)))
+
     def _build(self):
         opts = self.options
         self.dense_rcs = (self.mesh is None and 0 < self.num_cameras
@@ -544,6 +558,7 @@ class SCLinearizer(LinearizerBase):
             self.pairs = build_pair_structure(self.bp, self.num_cameras)
         cam_flat = jnp.concatenate(
             [b.cam_idx.reshape(-1) for b in self.buckets])
+        self.bsr_sym = self._bsr_symmetric(bsr)
         # buckets + RCS sparsity structure + camera-CSR as runtime args
         # (see LinearizerBase.consts: avoids giant embedded HLO constants)
         self.consts = (self.buckets, self.pairs, self.cam_csr,
@@ -589,7 +604,8 @@ class SCLinearizer(LinearizerBase):
             elif self.bsr_rcs:
                 blocks2, diag, b, Hll_invs = sc_assemble_bsr(
                     lins, buckets, pair_csr, cam_flat, csr, lam,
-                    self.num_cameras, cam_strips=cstrips_)
+                    self.num_cameras, cam_strips=cstrips_,
+                    symmetric=self.bsr_sym)
                 H_dense = (blocks2, diag)
                 stage2 = SCStage2(
                     H=jnp.zeros((0, P9, P9), dtype), b=b,
@@ -642,15 +658,13 @@ class SCLinearizer(LinearizerBase):
                     return sc_matvec_dense(H_dense, x)
             elif self.bsr_rcs:
                 from rootba_tpu.solver.linearization import (
-                    bsr_matvec_pack,
-                    bsr_matvec_packed,
+                    make_bsr_matvec,
                 )
 
                 blocks2, diag_b = H_dense
-                packed = bsr_matvec_pack(blocks2, bsr_)
-
-                def matvec(x):
-                    return bsr_matvec_packed(packed, diag_b, bsr_, x)
+                matvec = make_bsr_matvec(
+                    blocks2, diag_b, bsr_,
+                    int(opts.bsr_pack_max_gb * (1 << 30)))
             else:
                 def matvec(x):
                     return sc_matvec(stage2, pairs, self.num_cameras, x)
@@ -740,7 +754,8 @@ def e0_assemble_dense(lins, buckets, Hll_invs, pair_csr, cam_flat,
 
 
 def e0_assemble_bsr(lins, buckets, Hll_invs, pair_idx, cam_flat,
-                    cam_csr, num_cameras, cam_strips=None):
+                    cam_csr, num_cameras, cam_strips=None,
+                    symmetric=False):
     """Block-sparse E0 (same matrix as e0_assemble_dense, no densify):
     for camera counts whose dense E0 exceeds HBM. Returns the NEGATED
     (blocks2, diag) pair -- apply as e0(v) = -bsr_matvec(blocks2,
@@ -753,7 +768,7 @@ def e0_assemble_bsr(lins, buckets, Hll_invs, pair_idx, cam_flat,
     return assemble_rcs_bsr(
         HT, T, [(HT, T, -1.0)], cam_flat, cam_csr,
         pair_idx, zero_lam, num_cameras, buckets=buckets,
-        cam_strips=cam_strips)
+        cam_strips=cam_strips, symmetric=symmetric)
 
 
 class PowerSCLinearizer(SCLinearizer):
@@ -803,6 +818,7 @@ class PowerSCLinearizer(SCLinearizer):
                     min_group=opts.effective_strip_min_group(self.bp.num_observations)))
         cam_flat = jnp.concatenate(
             [b.cam_idx.reshape(-1) for b in self.buckets])
+        self.bsr_sym = self._bsr_symmetric(bsr)
         self.consts = (self.buckets, self.cam_csr, self.pair_csr,
                        cam_flat, cstrips, bsr)
 
@@ -842,7 +858,8 @@ class PowerSCLinearizer(SCLinearizer):
                 E0 = e0_assemble_bsr(lins, buckets, Hll_invs,
                                      pair_csr, cam_flat, csr,
                                      self.num_cameras,
-                                     cam_strips=cstrips_)
+                                     cam_strips=cstrips_,
+                                     symmetric=self.bsr_sym)
             stage2 = SCStage2(H=jnp.zeros((0, P9, P9), dtype), b=b,
                               Hll_inv=Hll_invs,
                               lam=jnp.asarray(lam, dtype))
@@ -865,15 +882,16 @@ class PowerSCLinearizer(SCLinearizer):
                     return sc_matvec_dense(E0, v)
             elif self.bsr_rcs:
                 from rootba_tpu.solver.linearization import (
-                    bsr_matvec_pack,
-                    bsr_matvec_packed,
+                    make_bsr_matvec,
                 )
 
                 neg_blocks2, neg_diag = E0
-                packed = bsr_matvec_pack(neg_blocks2, bsr_)
+                neg_mv = make_bsr_matvec(
+                    neg_blocks2, neg_diag, bsr_,
+                    int(opts.bsr_pack_max_gb * (1 << 30)))
 
                 def apply_e0(v):
-                    return -bsr_matvec_packed(packed, neg_diag, bsr_, v)
+                    return -neg_mv(v)
             else:
                 def apply_e0(v):
                     return e0_matvec(lins, buckets, stage2.Hll_inv,

@@ -788,7 +788,7 @@ class BsrMatvecIndex(NamedTuple):
 def assemble_rcs_bsr(strip_a, strip_b, diag_terms, cam_flat, csr,
                      pairs, lam, num_cameras, buckets=None,
                      cam_strips=None, pose_scale=None,
-                     pair_rows=None, diag81=None):
+                     pair_rows=None, diag81=None, symmetric=False):
     """Block-sparse RCS assembly: the same per-pair / per-camera
     gather-reduces as assemble_rcs_dense, WITHOUT the densify -- for
     problems whose dense [9G, 9G] system exceeds HBM (60 GB at
@@ -842,11 +842,17 @@ def assemble_rcs_bsr(strip_a, strip_b, diag_terms, cam_flat, csr,
         diag81 = diag81 * (jnp.repeat(pose_scale, P9_, axis=1)
                            * jnp.tile(pose_scale, (1, P9_)))
 
+    diag = diag81.reshape(N, P9_, P9_) + lam * jnp.eye(P9_, dtype=dtype)
+    if symmetric:
+        # half storage: [P, 81] strict-pair blocks only; the matvec
+        # (bsr_matvec_sym) applies the transpose direction from the
+        # same table. Halves the dominant HBM buffer -- final-13682's
+        # clustered pair density makes the [2P, 81] form 11.7 GB
+        return -Hup, diag
     perm_t = jnp.asarray(
         np.arange(81).reshape(P9_, P9_).T.reshape(-1), jnp.int32)
     blocks2 = jnp.concatenate(
         [-Hup, -jnp.take(Hup, perm_t, axis=1)], axis=0)  # [2P, 81]
-    diag = diag81.reshape(N, P9_, P9_) + lam * jnp.eye(P9_, dtype=dtype)
     return blocks2, diag
 
 
@@ -937,6 +943,84 @@ def bsr_matvec_packed(packed: jnp.ndarray, diag: jnp.ndarray,
     y_off = _level2_reduce(rsum, bsr.idx2)  # [N, 9]
     y_diag = jnp.sum(diag * x[:, None, :], axis=2)
     return y_diag + y_off
+
+
+def bsr_symmetric_fits(bsr: BsrMatvecIndex, itemsize: int,
+                       max_pack_bytes: int) -> bool:
+    """True when the packed run-major table would exceed the byte
+    budget, i.e. the stage2 assembly should emit the symmetric-half
+    [P, 81] block table and the matvec should run bsr_matvec_sym.
+    Static decision (index shapes known at build time)."""
+    R, W = bsr.blk_idx.shape
+    return R * W * 81 * itemsize > max_pack_bytes
+
+
+def bsr_matvec_sym(blocks: jnp.ndarray, diag: jnp.ndarray,
+                   bsr: BsrMatvecIndex, x: jnp.ndarray) -> jnp.ndarray:
+    """y = H x against the HALF-stored BSR table [P, 81] (strict pairs
+    only, assemble_rcs_bsr(symmetric=True)): entries with
+    blk_idx >= P are the transpose direction and contract the gathered
+    block transposed -- same gathered bytes as bsr_matvec, 2x the (VPU,
+    cheap) flops, half the resident block table. The reference stores
+    both directions (BlockSparseMatrix add(i,j)+add(j,i)); the half
+    table is the HBM-bound TPU equivalent."""
+    P9_ = POSE_SIZE
+    N = x.shape[0]
+    R, W = bsr.blk_idx.shape
+    P = blocks.shape[0]
+    chunk = max(1, min(R, (512 << 10) // max(W, 1)))
+    Rpad = -(-R // chunk) * chunk
+    bidx, cidx = bsr.blk_idx, bsr.col_idx
+    if Rpad != R:
+        bidx = jnp.concatenate(
+            [bidx, jnp.full((Rpad - R, W), 2 * P, jnp.int32)])
+        cidx = jnp.concatenate(
+            [cidx, jnp.full((Rpad - R, W), N, jnp.int32)])
+
+    def chunk_sum(ix):
+        bi, ci = ix
+        flat_b = bi.reshape(-1)
+        tr = flat_b >= P
+        idx = jnp.where(tr, flat_b - P, flat_b)
+        Hb = jnp.take(blocks, idx, axis=0, mode="fill",
+                      fill_value=0.0)  # [cW, 81]
+        xg = jnp.take(x, ci.reshape(-1), axis=0, mode="fill",
+                      fill_value=0.0)  # [cW, 9]
+        Hm = Hb.reshape(-1, P9_, P9_)
+        prod_s = jnp.sum(Hm * xg[:, None, :], axis=2)       # H x
+        prod_t = jnp.sum(Hm * xg[:, :, None], axis=1)       # H' x
+        prod = jnp.where(tr[:, None], prod_t, prod_s)
+        return jnp.sum(prod.reshape(chunk, W, P9_), axis=1)
+
+    nchunks = Rpad // chunk
+    if nchunks == 1:
+        rsum = chunk_sum((bidx, cidx))
+    else:
+        rsum = jax.lax.map(
+            chunk_sum,
+            (bidx.reshape(nchunks, chunk, W),
+             cidx.reshape(nchunks, chunk, W))).reshape(Rpad, P9_)
+    rsum = jnp.concatenate(
+        [rsum[:R], jnp.zeros((1, P9_), rsum.dtype)], axis=0)
+    y_off = _level2_reduce(rsum, bsr.idx2)  # [N, 9]
+    y_diag = jnp.sum(diag * x[:, None, :], axis=2)
+    return y_diag + y_off
+
+
+def make_bsr_matvec(blocks, diag, bsr: BsrMatvecIndex,
+                    max_pack_bytes: int):
+    """Matvec closure over the BSR system. Two regimes by a static
+    byte budget: under it, the full [2P, 81] table is packed run-major
+    (a second full copy; 3.5x faster CG iterations at venice scale,
+    569 MB packed); over it, stage2 emitted the symmetric-half [P, 81]
+    table (assemble_rcs_bsr(symmetric=True)) and each application
+    contracts both directions from it (final-13682's clustered pair
+    density puts the [2P, 81] form at 11.7 GB -- packing would double
+    that past the 16 GB chip)."""
+    if bsr_symmetric_fits(bsr, blocks.dtype.itemsize, max_pack_bytes):
+        return lambda x: bsr_matvec_sym(blocks, diag, bsr, x)
+    packed = bsr_matvec_pack(blocks, bsr)
+    return lambda x: bsr_matvec_packed(packed, diag, bsr, x)
 
 
 class _SelfPairView(NamedTuple):

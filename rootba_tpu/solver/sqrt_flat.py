@@ -425,11 +425,13 @@ def flat_assemble_rcs(lin: FlatLin, stage2: FlatStage2, cam_flat, pairs,
 
 def flat_assemble_rcs_bsr(lin: FlatLin, stage2: FlatStage2, cam_flat,
                           pairs, num_cameras, csr=None, buckets=None,
-                          cam_strips=None):
+                          cam_strips=None, symmetric=False):
     """Block-sparse form of flat_assemble_rcs (same H, no densify):
     for camera counts whose dense [9G, 9G] system exceeds HBM but whose
-    unique-pair structure is sparse (final-13682: 60 GB dense vs 116 MB
-    of blocks). Returns (blocks2 [2P,81], diag [N,9,9])."""
+    unique-pair structure is sparse. Returns
+    (blocks2 [2P,81], diag [N,9,9]), or ([P,81] strict-pair half table
+    with symmetric=True -- the mode for final-13682-scale clustered
+    pair graphs, see linearization.bsr_matvec_sym)."""
     from rootba_tpu.solver.linearization import assemble_rcs_bsr
 
     Hup, diag81 = _sandwich_rows(lin, stage2, buckets, pairs,
@@ -438,14 +440,15 @@ def flat_assemble_rcs_bsr(lin: FlatLin, stage2: FlatStage2, cam_flat,
         return assemble_rcs_bsr(
             lin.Jp, lin.Jp, None, cam_flat, csr, pairs, stage2.lam,
             num_cameras, buckets=buckets, cam_strips=cam_strips,
-            pose_scale=lin.pose_scale, pair_rows=Hup, diag81=diag81)
+            pose_scale=lin.pose_scale, pair_rows=Hup, diag81=diag81,
+            symmetric=symmetric)
     Wa, Wb, terms = _rcs_factors(lin, stage2, buckets, pairs,
                                  cam_strips)
     diag81 = _cached_diag81(lin, Wa, buckets, cam_strips)
     return assemble_rcs_bsr(
         Wa, Wb, terms, cam_flat, csr, pairs, stage2.lam, num_cameras,
         buckets=buckets, cam_strips=cam_strips,
-        pose_scale=lin.pose_scale, diag81=diag81)
+        pose_scale=lin.pose_scale, diag81=diag81, symmetric=symmetric)
 
 
 def _cached_diag81(lin: FlatLin, Wa, buckets, cam_strips):
@@ -748,6 +751,20 @@ class FlatSqrtLinearizer(LinearizerBase):
 
                 bsr = BsrMatvecIndex.from_host(build_bsr_matvec(
                     pairs_host.pair_row, pairs_host.pair_col, N))
+        # static decision: symmetric-half BSR storage when the packed
+        # run-major table would exceed the HBM budget (see
+        # linearization.make_bsr_matvec) -- stage2 then assembles the
+        # [P, 81] strict-pair table instead of [2P, 81]
+        bsr_sym = False
+        if bsr is not None:
+            from rootba_tpu.solver.linearization import (
+                bsr_symmetric_fits,
+            )
+
+            bsr_sym = bsr_symmetric_fits(
+                bsr, jnp.dtype(self.dtype).itemsize,
+                int(opts.bsr_pack_max_gb * (1 << 30)))
+        self.bsr_sym = bsr_sym
         # camera-strip reduce index (same small-table gather economics
         # as the pair strips; see bucketing.CamStrips) for the RHS /
         # diagonal-block / diag2 per-camera reductions
@@ -816,7 +833,8 @@ class FlatSqrtLinearizer(LinearizerBase):
                 if bsr_mode:
                     blocks2, diag = flat_assemble_rcs_bsr(
                         lins, stage2, cam_flat, pairs, N, csr=csr,
-                        buckets=buckets, cam_strips=cstrips_)
+                        buckets=buckets, cam_strips=cstrips_,
+                        symmetric=bsr_sym)
                     Hd = (blocks2, diag)
                 else:
                     Hd, diag = flat_assemble_rcs(lins, stage2, cam_flat,
@@ -846,17 +864,16 @@ class FlatSqrtLinearizer(LinearizerBase):
             stage2, Hd = aux
             if bsr_mode:
                 from rootba_tpu.solver.linearization import (
-                    bsr_matvec_pack,
-                    bsr_matvec_packed,
+                    make_bsr_matvec,
                 )
 
                 blocks2, diag = Hd
-                # loop-invariant: packed once, hoisted out of the CG
-                # while-loop (see bsr_matvec_pack)
-                packed = bsr_matvec_pack(blocks2, bsr_)
-
-                def matvec(x):
-                    return bsr_matvec_packed(packed, diag, bsr_, x)
+                # loop-invariant packed table when it fits the HBM
+                # budget, per-iteration gather otherwise (see
+                # make_bsr_matvec)
+                matvec = make_bsr_matvec(
+                    blocks2, diag, bsr_,
+                    int(opts.bsr_pack_max_gb * (1 << 30)))
             elif explicit:
                 def matvec(x):
                     from rootba_tpu.solver.explicit_sc import (

@@ -778,3 +778,30 @@ def test_wide_bucket_bsr_vs_dense(wide_bucket_problem, dtype):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
             err_msg=f"component {i} (wide-bucket bsr vs dense)")
+
+
+def test_bsr_symmetric_half_storage(synthetic_problem, dtype):
+    """bsr_pack_max_gb=0 forces the symmetric-half [P, 81] block table
+    + two-direction matvec (the HBM-bounded mode for final-13682's
+    clustered pair density); must solve to the same increment as the
+    packed full-table default, on all three solvers."""
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    cases = [
+        dict(sqrt_rcs_mode="bsr"),
+        dict(solver_type=SolverType.SCHUR_COMPLEMENT,
+             dense_rcs_max_cameras=1),
+        dict(solver_type=SolverType.POWER_SCHUR_COMPLEMENT,
+             dense_rcs_max_cameras=1,
+             preconditioner_type=(
+                 PreconditionerType.POWER_SCHUR_COMPLEMENT)),
+    ]
+    for extra in cases:
+        layout = "flat" if "sqrt_rcs_mode" in extra else "einsum"
+        ref = _one_solve(bp, layout, 1, dtype.type, **extra)
+        got = _one_solve(bp, layout, 1, dtype.type,
+                         bsr_pack_max_gb=0.0, **extra)
+        rtol = 2e-4 if dtype.itemsize == 4 else 1e-9
+        for i, (a, b) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+                err_msg=f"component {i} (sym-half bsr, {extra})")
