@@ -139,11 +139,22 @@ def bucketize(
     # undersized largest bucket: nothing above to merge into; keep it
     obs_start = np.concatenate([[0], np.cumsum(counts)])
 
+    # camera-locality ordering inside each bucket: landmarks sorted by
+    # their minimum camera id, so a contiguous landmark range covers
+    # few cameras -> few distinct camera pairs per PairStream
+    # sub-stream (dense width-runs) and local scatter/gather patterns
+    # everywhere else. Pure reordering; the math is permutation-
+    # invariant (f32 sums reassociate within test tolerances).
+    min_cam = np.minimum.reduceat(
+        problem.obs_cam, obs_start[:-1]) if counts.size else \
+        np.zeros(0, np.int64)
+
     buckets: List[Bucket] = []
     lm_p0: List[np.ndarray] = []
     groups: List[Tuple[int, np.ndarray]] = []
     for n in sorted(set(sizes.tolist())):
         ids = np.nonzero(sizes == n)[0]
+        ids = ids[np.argsort(min_cam[ids], kind="stable")]
         per = ids.size
         if max_bucket_obs and ids.size * n > max_bucket_obs:
             per = max_bucket_obs // int(n)
@@ -821,3 +832,217 @@ def scatter_landmarks(
         ids = bucket.lm_id[bucket.lm_mask]
         out[ids] = np.asarray(p, dtype=np.float64)[bucket.lm_mask]
     return out
+
+
+class PairStream(NamedTuple):
+    """All-leftover, source-locality-tiled strict-pair index (round 5).
+
+    The PairStrips pattern-grouping exploits per-(i, j)-column
+    regularity that real/clustered covisibility does not have: a wide
+    bucket has n(n-1)/2 patterns (233k at a 684-wide final-13682
+    bucket -- the host enumeration alone is infeasible), and group
+    gathers read the ENTIRE [n*27]-wide strip row to use 54 bytes.
+    This index drops patterns entirely: every strict pair slot (l, i, j)
+    is a per-observation gather, tiled so the gathers stay in the
+    fast source regime (measured on v5e: <= ~200k-row sources gather
+    at ~6 ns/row vs ~27 ns at 1.5M rows, and the regime follows the
+    SOURCE BUFFER SHAPE, not the index working set -- benchmarks
+    /tmp gather_ab3 r5):
+
+      * landmarks are sorted by min-camera inside each bucket
+        (bucketize) so a contiguous landmark range covers few cameras
+        -> few distinct pairs -> dense width-runs;
+      * each bucket is tiled into uniform sub-streams of <= slot_cap
+        slots; the device reducer dynamic-slices the bucket's
+        [L, n*K9] table to [rows_sub, n*K9], reshapes to the
+        [rows_sub*n, K9] slot table (a bounded transient, sequential
+        under lax.map) and gathers slots from THAT;
+      * slots are pair-sorted within the sub-stream and padded to
+        width-aligned single-pair runs; run sums land in a global
+        [P, 81] via one segment-sum per stack (no [P, vmax] idx2 --
+        18M pairs at final-13682 would make the dense idx2 GBs).
+    """
+
+    pair_row: np.ndarray  # [P] int32 (<= pair_col)
+    pair_col: np.ndarray  # [P] int32
+    width: int  # run width (static)
+    stream_bucket: Tuple[int, ...]  # bucket id per stack
+    rows_sub: Tuple[int, ...]  # landmark rows per sub-stream, per stack
+    wi_idx: Tuple[np.ndarray, ...]  # per stack [S, R, W] int32 local
+    #   slot ids into [rows_sub*n] (pad = rows_sub*n), canonical side 1
+    wj_idx: Tuple[np.ndarray, ...]  # [S, R, W] side 2
+    run_pair: Tuple[np.ndarray, ...]  # per stack [S, R] int32 pair id
+    #   of each run (pad = P)
+    up_idx: np.ndarray  # [G*G] int32 (see PairCsr); empty if not dense
+    lo_idx: np.ndarray
+
+
+def _stream_tiles(L: int, n: int, slot_cap: int,
+                  npairs_hint: int) -> int:
+    """Landmark rows per sub-stream: bound the [rows_sub*n, K9] slot
+    table to the fast gather regime AND the per-stream pair-slot count
+    (rows_sub * npairs) to a workable sort/pad size."""
+    rows = max(1, slot_cap // max(n, 1))
+    if npairs_hint > 0:
+        rows = max(1, min(rows, 4_000_000 // npairs_hint))
+    return rows
+
+
+def build_pair_stream(buckets, num_cameras: int, width: int = 16,
+                      grid_n: int | None = None,
+                      dense_grid: bool = True,
+                      slot_cap: int = 196_608) -> PairStream:
+    """Build the PairStream index (vectorized; no per-pattern loops --
+    final-13682's 233k-pattern wide bucket builds in seconds)."""
+    N = num_cameras
+    G = grid_n if grid_n is not None else N
+
+    # pass 1: global unique pair codes (per-bucket uniques merged)
+    uniques = []
+    for b in buckets:
+        L, n = b.cam_idx.shape
+        if L == 0 or n < 2:
+            continue
+        iu, ju = np.triu_indices(n, k=1)
+        ci = b.cam_idx[:, iu].astype(np.int64)
+        cj = b.cam_idx[:, ju].astype(np.int64)
+        valid = b.mask[:, iu] & b.mask[:, ju]
+        code = np.minimum(ci, cj) * N + np.maximum(ci, cj)
+        uniques.append(np.unique(code[valid]))
+    unique = (np.unique(np.concatenate(uniques)) if uniques
+              else np.zeros(0, np.int64))
+    P = unique.size
+
+    stream_bucket = []
+    rows_sub_list = []
+    wi_stacks = []
+    wj_stacks = []
+    rp_stacks = []
+    for bi, b in enumerate(buckets):
+        L, n = b.cam_idx.shape
+        if L == 0 or n < 2:
+            continue
+        iu, ju = np.triu_indices(n, k=1)
+        npairs = iu.size
+        rows_sub = _stream_tiles(L, n, slot_cap, npairs)
+        S = -(-L // rows_sub)
+        wi_runs, wj_runs, rp_runs = [], [], []
+        for s in range(S):
+            l0 = s * rows_sub
+            l1 = min(L, l0 + rows_sub)
+            ci = b.cam_idx[l0:l1, iu].astype(np.int64)
+            cj = b.cam_idx[l0:l1, ju].astype(np.int64)
+            valid = (b.mask[l0:l1, iu] & b.mask[l0:l1, ju]).ravel()
+            code = (np.minimum(ci, cj) * N
+                    + np.maximum(ci, cj)).ravel()[valid]
+            swap = (ci > cj).ravel()[valid]
+            lrel = np.repeat(
+                np.arange(l1 - l0, dtype=np.int64), npairs)[valid]
+            oi = lrel * n + np.tile(iu, l1 - l0)[valid]
+            oj = lrel * n + np.tile(ju, l1 - l0)[valid]
+            wi = np.where(swap, oj, oi)
+            wj = np.where(swap, oi, oj)
+            order = np.argsort(code, kind="stable")
+            pid = np.searchsorted(unique, code[order])
+            fill = rows_sub * n
+            (wi_p, wj_p), rp = _pad_runs(
+                pid, width, (wi[order], fill), (wj[order], fill))
+            wi_runs.append(wi_p.reshape(-1, width))
+            wj_runs.append(wj_p.reshape(-1, width))
+            rp_runs.append(rp)
+        R = max([r.shape[0] for r in wi_runs] + [1])
+        fill = rows_sub * n
+        wi_st = np.full((S, R, width), fill, np.int32)
+        wj_st = np.full((S, R, width), fill, np.int32)
+        rp_st = np.full((S, R), P, np.int32)
+        for s in range(S):
+            r = wi_runs[s].shape[0]
+            wi_st[s, :r] = wi_runs[s]
+            wj_st[s, :r] = wj_runs[s]
+            rp_st[s, :r] = rp_runs[s]
+        stream_bucket.append(bi)
+        rows_sub_list.append(rows_sub)
+        wi_stacks.append(wi_st)
+        wj_stacks.append(wj_st)
+        rp_stacks.append(rp_st)
+
+    rows = (unique // N).astype(np.int64)
+    cols = (unique % N).astype(np.int64)
+    if dense_grid:
+        up_idx = np.full(G * G, P, dtype=np.int64)
+        up_idx[rows * G + cols] = np.arange(P, dtype=np.int64)
+        lo_idx = np.full(G * G, P, dtype=np.int64)
+        lo_idx[cols * G + rows] = np.arange(P, dtype=np.int64)
+    else:
+        up_idx = lo_idx = np.zeros(0, dtype=np.int64)
+
+    return PairStream(
+        pair_row=rows.astype(np.int32), pair_col=cols.astype(np.int32),
+        width=width,
+        stream_bucket=tuple(stream_bucket),
+        rows_sub=tuple(rows_sub_list),
+        wi_idx=tuple(wi_stacks), wj_idx=tuple(wj_stacks),
+        run_pair=tuple(rp_stacks),
+        up_idx=up_idx.astype(np.int32), lo_idx=lo_idx.astype(np.int32))
+
+
+class CamStream(NamedTuple):
+    """Per-camera reduce in the PairStream formulation (self-slots,
+    runs keyed by camera): replaces the CamStrips per-(bucket, i)
+    groups whose whole-row gathers pay n x bandwidth on wide buckets
+    (a 684-wide final bucket would read its table 684 times)."""
+
+    width: int
+    num_cameras: int
+    stream_bucket: Tuple[int, ...]
+    rows_sub: Tuple[int, ...]
+    w_idx: Tuple[np.ndarray, ...]  # per stack [S, R, W] int32 local
+    #   slot ids (pad = rows_sub*n)
+    run_cam: Tuple[np.ndarray, ...]  # per stack [S, R] int32 (pad = N)
+
+
+def build_cam_stream(buckets, num_cameras: int, width: int = 16,
+                     slot_cap: int = 196_608) -> CamStream:
+    N = num_cameras
+    stream_bucket = []
+    rows_sub_list = []
+    w_stacks = []
+    rc_stacks = []
+    for bi, b in enumerate(buckets):
+        L, n = b.cam_idx.shape
+        if L == 0:
+            continue
+        rows_sub = max(1, slot_cap // max(n, 1))
+        S = -(-L // rows_sub)
+        w_runs, rc_runs = [], []
+        for s in range(S):
+            l0 = s * rows_sub
+            l1 = min(L, l0 + rows_sub)
+            cam = b.cam_idx[l0:l1].astype(np.int64).ravel()
+            valid = b.mask[l0:l1].ravel()
+            slot = np.arange((l1 - l0) * n, dtype=np.int64)[valid]
+            cam = cam[valid]
+            order = np.argsort(cam, kind="stable")
+            fill = rows_sub * n
+            (w_p,), rc = _pad_runs(cam[order], width,
+                                   (slot[order], fill))
+            w_runs.append(w_p.reshape(-1, width))
+            rc_runs.append(rc)
+        R = max([r.shape[0] for r in w_runs] + [1])
+        fill = rows_sub * n
+        w_st = np.full((S, R, width), fill, np.int32)
+        rc_st = np.full((S, R), N, np.int32)
+        for s in range(S):
+            r = w_runs[s].shape[0]
+            w_st[s, :r] = w_runs[s]
+            rc_st[s, :r] = rc_runs[s]
+        stream_bucket.append(bi)
+        rows_sub_list.append(rows_sub)
+        w_stacks.append(w_st)
+        rc_stacks.append(rc_st)
+    return CamStream(
+        width=width,
+        num_cameras=N,
+        stream_bucket=tuple(stream_bucket),
+        rows_sub=tuple(rows_sub_list),
+        w_idx=tuple(w_stacks), run_cam=tuple(rc_stacks))

@@ -286,13 +286,20 @@ class SolverOptions:
                    "of gathered blocks), so the crossover sits near "
                    "1k cameras; 0 disables both explicit modes")
     pair_gather: str = opt(
-        "strips", help="explicit-RCS pair-product gather formulation: "
-                       "'strips' (default) gathers one landmark strip "
-                       "row per pair slot from small per-bucket tables "
-                       "(fast-gather regime, one index per slot); "
-                       "'obs' gathers the two per-observation rows "
-                       "from the flat [O,27] strip (simpler, slower "
-                       "at >1M-observation scale)")
+        "stream", help="explicit-RCS pair-product gather formulation: "
+                       "'stream' (default, r5) tiles every pair slot "
+                       "into per-bucket sub-streams of camera-sorted "
+                       "landmarks, gathers from bounded sub-tables in "
+                       "the fast small-source regime and folds runs "
+                       "via one segment-sum -- cost O(slots) "
+                       "regardless of covisibility regularity; "
+                       "'strips' (r4) groups slots by within-landmark "
+                       "pattern, which degrades on irregular/clustered "
+                       "structure (a wide bucket has n(n-1)/2 "
+                       "patterns) and is kept for comparison; 'obs' "
+                       "gathers the two per-observation rows from the "
+                       "flat [O,27] strip (simpler, slower at "
+                       ">1M-observation scale)")
     pallas_cg: str = opt(
         "auto", help="run the whole dense-RCS PCG loop as one Pallas "
                      "kernel with the system resident in VMEM "

@@ -141,8 +141,10 @@ def sc_rhs_and_hll(lins, buckets, lam, num_cameras, cam_csr=None,
     )
 
     dtype = lins[0].Jp.dtype
+    from rootba_tpu.solver.linearization import cam_parts_mode
+
     strip_parts = (cam_strips is not None
-                   and cam_strips.wi_idx.shape[0] == 0)
+                   and cam_parts_mode(cam_strips))
     b = jnp.zeros((num_cameras, P9), dtype)
     b_parts = []
     Hll_invs = []
@@ -226,10 +228,13 @@ def _sc_strip_factors(lins, Hll_invs, pair_idx, cam_strips,
     linearization.csr_pair_outer_strips)."""
     from rootba_tpu.solver.linearization import PairStripsIndex
 
-    parts = (cam_strips is not None
-             and cam_strips.wi_idx.shape[0] == 0
-             and isinstance(pair_idx, PairStripsIndex)
-             and pair_idx.wi_idx.shape[0] == 0)
+    from rootba_tpu.solver.linearization import (
+        cam_parts_mode,
+        pair_parts_mode,
+    )
+
+    parts = (cam_strips is not None and cam_parts_mode(cam_strips)
+             and pair_parts_mode(pair_idx))
     T_parts, HT_parts, Jp_parts = [], [], []
     for lin, Hll_inv in zip(lins, Hll_invs):
         L, n = lin.Jp.shape[0], lin.Jp.shape[1]
@@ -477,6 +482,13 @@ def _build_pair_index(bp, num_cameras, pair_gather, dense_grid=True,
     gather formulation (see SolverOptions.pair_gather). Returns
     (device_index, host_index); dense_grid=False skips the [G*G] block
     maps (BSR mode)."""
+    if pair_gather == "stream":
+        from rootba_tpu.bal.bucketing import build_pair_stream
+        from rootba_tpu.solver.linearization import PairStreamIndex
+
+        host = build_pair_stream(bp.buckets, num_cameras,
+                                 dense_grid=dense_grid)
+        return PairStreamIndex.from_host(host), host
     if pair_gather == "strips":
         from rootba_tpu.bal.bucketing import build_pair_strips
         from rootba_tpu.solver.linearization import PairStripsIndex
@@ -545,7 +557,15 @@ class SCLinearizer(LinearizerBase):
                 bsr = BsrMatvecIndex.from_host(build_bsr_matvec(
                     pairs_host.pair_row, pairs_host.pair_col,
                     self.num_cameras))
-            if opts.pair_gather == "strips":
+            if opts.pair_gather == "stream":
+                from rootba_tpu.bal.bucketing import build_cam_stream
+                from rootba_tpu.solver.linearization import (
+                    CamStreamIndex,
+                )
+
+                cstrips = CamStreamIndex.from_host(build_cam_stream(
+                    self.bp.buckets, self.num_cameras))
+            elif opts.pair_gather == "strips":
                 from rootba_tpu.bal.bucketing import build_cam_strips
                 from rootba_tpu.solver.linearization import (
                     CamStripsIndex,
@@ -807,7 +827,15 @@ class PowerSCLinearizer(SCLinearizer):
                 bsr = BsrMatvecIndex.from_host(build_bsr_matvec(
                     pairs_host.pair_row, pairs_host.pair_col,
                     self.num_cameras))
-            if opts.pair_gather == "strips":
+            if opts.pair_gather == "stream":
+                from rootba_tpu.bal.bucketing import build_cam_stream
+                from rootba_tpu.solver.linearization import (
+                    CamStreamIndex,
+                )
+
+                cstrips = CamStreamIndex.from_host(build_cam_stream(
+                    self.bp.buckets, self.num_cameras))
+            elif opts.pair_gather == "strips":
                 from rootba_tpu.bal.bucketing import build_cam_strips
                 from rootba_tpu.solver.linearization import (
                     CamStripsIndex,

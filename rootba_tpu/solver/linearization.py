@@ -391,6 +391,8 @@ def csr_pair_outer_strips(strip_a, strip_b, buckets,
 
     with `first` the observation on the pair's lower-id camera.
 
+    A PairStreamIndex routes through the structure-robust stream
+    reducer (pair_outer_stream). Otherwise:
     strip_a/strip_b are flat [O, K, 9] arrays OR per-bucket tuples of
     [L_b, n_b*K*9] landmark-strip tables. PREFER the tuple form at
     scale: a flat narrow array that feeds the per-bucket table reshape
@@ -399,6 +401,11 @@ def csr_pair_outer_strips(strip_a, strip_b, buckets,
     per-bucket tables built straight from per-bucket slices bound every
     materialization to [L_b, n_b*K*9]. The tuple form has no per-obs
     leftover stream (build the index with min_group=0)."""
+    if isinstance(strips, PairStreamIndex):
+        same = strip_a is strip_b
+        ta = split_flat_by_bucket(strip_a, buckets)
+        tb = ta if same else split_flat_by_bucket(strip_b, buckets)
+        return pair_outer_stream(ta, tb, buckets, strips)
     parts_mode = isinstance(strip_a, (tuple, list))
     same = strip_a is strip_b
     if parts_mode:
@@ -612,13 +619,16 @@ def _strip_run_rows(buckets, strips: CamStripsIndex, flat_tables,
     return _level2_reduce(rows, strips.idx2)  # [N, out_width]
 
 
-def cam_reduce_strips(flat, buckets,
-                      strips: CamStripsIndex) -> jnp.ndarray:
+def cam_reduce_strips(flat, buckets, strips) -> jnp.ndarray:
     """Per-camera sum of per-obs-slot [O, F] contribution rows in the
     landmark-strip formulation (semantics of csr_cam_reduce; see
     bucketing.CamStrips for why this gathers faster at scale). `flat`
     is an [O, F] array or a per-bucket tuple of [L_b, n_b*F] tables
-    (see _strip_run_rows)."""
+    (see _strip_run_rows). A CamStreamIndex routes through the
+    structure-robust stream reducer."""
+    if isinstance(strips, CamStreamIndex):
+        return cam_reduce_stream(split_flat_by_bucket(flat, buckets),
+                                 buckets, strips, strips.num_cameras)
     if isinstance(flat, (tuple, list)):
         F = flat[0].shape[1] // buckets[0].cam_idx.shape[1]
     else:
@@ -632,7 +642,20 @@ def cam_gram_strips(terms, buckets, strips: CamStripsIndex) -> jnp.ndarray:
     rows, fused into the strip gather-reduce (no [O,81]
     materialization). terms = [(A [O,K,9], B, sign)] -- each side an
     array or a per-bucket tuple of [L_b, n_b*K*9] tables; tables shared
-    between terms/sides are gathered once."""
+    between terms/sides are gathered once. A CamStreamIndex routes
+    through the structure-robust stream reducer."""
+    if isinstance(strips, CamStreamIndex):
+        seen = {}
+
+        def as_parts(M):
+            if id(M) not in seen:
+                seen[id(M)] = split_flat_by_bucket(M, buckets)
+            return seen[id(M)]
+
+        tterms = [(as_parts(A), as_parts(B), sign)
+                  for A, B, sign in terms]
+        return cam_gram_stream(tterms, buckets, strips,
+                               strips.num_cameras)
     n0 = buckets[0].cam_idx.shape[1]
     tabs = []
     ids = {}
@@ -810,7 +833,7 @@ def assemble_rcs_bsr(strip_a, strip_b, diag_terms, cam_flat, csr,
 
     if pair_rows is not None:
         Hup = pair_rows
-    elif isinstance(pairs, PairStripsIndex):
+    elif isinstance(pairs, (PairStripsIndex, PairStreamIndex)):
         Hup = csr_pair_outer_strips(strip_a, strip_b, buckets, pairs)
     else:
         Hup = csr_pair_outer(strip_a, strip_b, pairs)  # [P, 81]
@@ -1069,7 +1092,7 @@ def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
 
     if pair_rows is not None:
         Hup = pair_rows
-    elif isinstance(pairs, PairStripsIndex):
+    elif isinstance(pairs, (PairStripsIndex, PairStreamIndex)):
         Hup = csr_pair_outer_strips(strip_a, strip_b, buckets, pairs)
     else:
         Hup = csr_pair_outer(strip_a, strip_b, pairs)  # [P, 81]
@@ -1314,3 +1337,290 @@ def compute_error_buckets(
             info = join_residual_info(
                 info, err_chunk([t[main:] for t in tables]))
     return info
+
+
+@jax.tree_util.register_pytree_node_class
+class PairStreamIndex:
+    """Device copy of bucketing.PairStream (see its docstring).
+    (width, stream_bucket, rows_sub) are STATIC aux data."""
+
+    def __init__(self, width, stream_bucket, rows_sub, wi_idx, wj_idx,
+                 run_pair, pair_row, pair_col, up_idx, lo_idx):
+        self.width = width
+        self.stream_bucket = stream_bucket
+        self.rows_sub = rows_sub
+        self.wi_idx = wi_idx
+        self.wj_idx = wj_idx
+        self.run_pair = run_pair
+        self.pair_row = pair_row
+        self.pair_col = pair_col
+        self.up_idx = up_idx
+        self.lo_idx = lo_idx
+
+    def tree_flatten(self):
+        children = (self.wi_idx, self.wj_idx, self.run_pair,
+                    self.pair_row, self.pair_col, self.up_idx,
+                    self.lo_idx)
+        aux = (self.width, self.stream_bucket, self.rows_sub)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+    @property
+    def num_pairs(self) -> int:
+        return self.pair_row.shape[0]
+
+    @staticmethod
+    def from_host(ps) -> "PairStreamIndex":
+        return PairStreamIndex(
+            width=ps.width,
+            stream_bucket=tuple(ps.stream_bucket),
+            rows_sub=tuple(ps.rows_sub),
+            wi_idx=tuple(jnp.asarray(x) for x in ps.wi_idx),
+            wj_idx=tuple(jnp.asarray(x) for x in ps.wj_idx),
+            run_pair=tuple(jnp.asarray(x) for x in ps.run_pair),
+            pair_row=jnp.asarray(ps.pair_row),
+            pair_col=jnp.asarray(ps.pair_col),
+            up_idx=jnp.asarray(ps.up_idx),
+            lo_idx=jnp.asarray(ps.lo_idx))
+
+
+def _stream_sub_tables(tables, bucket, rows_sub, start, same_pair):
+    """Dynamic-slice each [Lpad, n*K] table to [rows_sub, n*K] and
+    reshape to the [rows_sub*n, K] slot table behind an optimization
+    barrier: the barrier materializes the small sub-table so the slot
+    gathers get XLA's fast small-source plan (the whole point of the
+    stream tiling; gathering straight from the big table keeps the
+    ~5x slower large-source plan)."""
+    outs = []
+    for t in tables:
+        n = bucket.cam_idx.shape[1]
+        K = t.shape[1] // n
+        sub = jax.lax.dynamic_slice_in_dim(t, start, rows_sub, axis=0)
+        outs.append(jax.lax.optimization_barrier(
+            sub.reshape(rows_sub * n, K)))
+    return outs
+
+
+def _pad_stack_rows(t, Lpad):
+    L = t.shape[0]
+    if L == Lpad:
+        return t
+    return jnp.concatenate(
+        [t, jnp.zeros((Lpad - L,) + t.shape[1:], t.dtype)], axis=0)
+
+
+def pair_outer_stream(strip_a, strip_b, buckets,
+                      ps: PairStreamIndex) -> jnp.ndarray:
+    """Strict-pair block-product reduction over the PairStream index:
+
+        out[p, a*9+b] = sum over slots of pair p of
+                        sum_k strip_a[first, k*9+a] strip_b[second, k*9+b]
+
+    strip_a/strip_b are per-bucket tuples of [L_b, n_b*K*9] landmark
+    tables (the tuple form of csr_pair_outer_strips). Structure-robust
+    replacement for the pattern-grouped strips reduction: cost is
+    O(slots) narrow fast-regime gathers regardless of covisibility
+    regularity (see bucketing.PairStream)."""
+    same = strip_a is strip_b
+    dtype = strip_a[0].dtype
+    P = ps.num_pairs
+    W = ps.width
+    out = jnp.zeros((P + 1, 81), dtype)
+    for t, bi in enumerate(ps.stream_bucket):
+        ta, tb = strip_a[bi], strip_b[bi]
+        rs = ps.rows_sub[t]
+        wi, wj, rp = ps.wi_idx[t], ps.wj_idx[t], ps.run_pair[t]
+        S, R, _ = wi.shape
+        Lpad = S * rs
+        ta_p = _pad_stack_rows(ta, Lpad)
+        tb_p = ta_p if same else _pad_stack_rows(tb, Lpad)
+        bucket = buckets[bi]
+        starts = jnp.arange(S, dtype=jnp.int32) * rs
+
+        def one(args, ta_p=ta_p, tb_p=tb_p, rs=rs, bucket=bucket):
+            start, wi_s, wj_s = args
+            if same:
+                (fa,) = _stream_sub_tables([ta_p], bucket, rs, start,
+                                           True)
+                fb = fa
+            else:
+                fa, fb = _stream_sub_tables([ta_p, tb_p], bucket, rs,
+                                            start, False)
+            si = jnp.take(fa, wi_s.reshape(-1), axis=0, mode="fill",
+                          fill_value=0.0)
+            sj = jnp.take(fb, wj_s.reshape(-1), axis=0, mode="fill",
+                          fill_value=0.0)
+            return _outer81_fold(si, sj, W)  # [R, 81]
+
+        if S == 1:
+            rows_t = one((starts[0], wi[0], wj[0]))[None]
+        else:
+            rows_t = jax.lax.map(one, (starts, wi, wj))
+        out = out + jax.ops.segment_sum(
+            rows_t.reshape(S * R, 81), rp.reshape(-1),
+            num_segments=P + 1)
+    return out[:P]
+
+
+@jax.tree_util.register_pytree_node_class
+class CamStreamIndex:
+    """Device copy of bucketing.CamStream."""
+
+    def __init__(self, width, num_cameras, stream_bucket, rows_sub,
+                 w_idx, run_cam):
+        self.width = width
+        self.num_cameras = num_cameras
+        self.stream_bucket = stream_bucket
+        self.rows_sub = rows_sub
+        self.w_idx = w_idx
+        self.run_cam = run_cam
+
+    def tree_flatten(self):
+        return ((self.w_idx, self.run_cam),
+                (self.width, self.num_cameras, self.stream_bucket,
+                 self.rows_sub))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], aux[2], aux[3], *children)
+
+    @staticmethod
+    def from_host(cs) -> "CamStreamIndex":
+        return CamStreamIndex(
+            width=cs.width,
+            num_cameras=cs.num_cameras,
+            stream_bucket=tuple(cs.stream_bucket),
+            rows_sub=tuple(cs.rows_sub),
+            w_idx=tuple(jnp.asarray(x) for x in cs.w_idx),
+            run_cam=tuple(jnp.asarray(x) for x in cs.run_cam))
+
+
+def cam_gram_stream(terms, buckets, cs: CamStreamIndex,
+                    num_cameras: int) -> jnp.ndarray:
+    """Per-camera 81-wide gram sums over the CamStream index:
+    out[c] = sum over obs slots of camera c of
+             sum_terms sign * A_slot' B_slot. Terms are per-bucket
+    tuples of [L, n*K*9] tables."""
+    N = num_cameras
+    dtype = terms[0][0][0].dtype
+    W = cs.width
+    out = jnp.zeros((N + 1, 81), dtype)
+    for t, bi in enumerate(cs.stream_bucket):
+        rs = cs.rows_sub[t]
+        w, rc = cs.w_idx[t], cs.run_cam[t]
+        S, R, _ = w.shape
+        Lpad = S * rs
+        bucket = buckets[bi]
+        tabs = []
+        for A, B, sign in terms:
+            same_t = A is B
+            ta_p = _pad_stack_rows(A[bi], Lpad)
+            tb_p = ta_p if same_t else _pad_stack_rows(B[bi], Lpad)
+            tabs.append((ta_p, tb_p, sign, same_t))
+        starts = jnp.arange(S, dtype=jnp.int32) * rs
+
+        def one(args, tabs=tabs, rs=rs, bucket=bucket):
+            start, w_s = args
+            acc = None
+            for ta_p, tb_p, sign, same_t in tabs:
+                if same_t:
+                    (fa,) = _stream_sub_tables([ta_p], bucket, rs,
+                                               start, True)
+                    fb = fa
+                else:
+                    fa, fb = _stream_sub_tables([ta_p, tb_p], bucket,
+                                                rs, start, False)
+                si = jnp.take(fa, w_s.reshape(-1), axis=0,
+                              mode="fill", fill_value=0.0)
+                sj = si if same_t else jnp.take(
+                    fb, w_s.reshape(-1), axis=0, mode="fill",
+                    fill_value=0.0)
+                g = _outer81_fold(si, sj, W) * sign
+                acc = g if acc is None else acc + g
+            return acc  # [R, 81]
+
+        if S == 1:
+            rows_t = one((starts[0], w[0]))[None]
+        else:
+            rows_t = jax.lax.map(one, (starts, w))
+        out = out + jax.ops.segment_sum(
+            rows_t.reshape(S * R, 81), rc.reshape(-1),
+            num_segments=N + 1)
+    return out[:N]
+
+
+def cam_reduce_stream(tables, buckets, cs: CamStreamIndex,
+                      num_cameras: int) -> jnp.ndarray:
+    """Per-camera F-wide row sums over the CamStream index: tables is
+    a per-bucket tuple of [L, n*F] contribution rows."""
+    N = num_cameras
+    dtype = tables[0].dtype
+    W = cs.width
+    out = None
+    for t, bi in enumerate(cs.stream_bucket):
+        rs = cs.rows_sub[t]
+        w, rc = cs.w_idx[t], cs.run_cam[t]
+        S, R, _ = w.shape
+        Lpad = S * rs
+        bucket = buckets[bi]
+        ta_p = _pad_stack_rows(tables[bi], Lpad)
+        n = bucket.cam_idx.shape[1]
+        F = ta_p.shape[1] // n
+        starts = jnp.arange(S, dtype=jnp.int32) * rs
+
+        def one(args, ta_p=ta_p, rs=rs, bucket=bucket, F=F):
+            start, w_s = args
+            (fa,) = _stream_sub_tables([ta_p], bucket, rs, start, True)
+            g = jnp.take(fa, w_s.reshape(-1), axis=0, mode="fill",
+                         fill_value=0.0)
+            return jnp.sum(g.reshape(-1, W, F), axis=1)  # [R, F]
+
+        if S == 1:
+            rows_t = one((starts[0], w[0]))[None]
+        else:
+            rows_t = jax.lax.map(one, (starts, w))
+        part = jax.ops.segment_sum(
+            rows_t.reshape(S * R, -1), rc.reshape(-1),
+            num_segments=N + 1)
+        out = part if out is None else out + part
+    if out is None:
+        return jnp.zeros((N, tables[0].shape[1]), dtype)
+    return out[:N]
+
+
+def cam_parts_mode(cam_strips) -> bool:
+    """True when the per-camera reducers take per-bucket tuple tables
+    (leftover-free CamStrips, or a CamStream index)."""
+    if cam_strips is None:
+        return False
+    if isinstance(cam_strips, CamStreamIndex):
+        return True
+    return cam_strips.wi_idx.shape[0] == 0
+
+
+def pair_parts_mode(pairs) -> bool:
+    """True when the pair reducer takes per-bucket tuple tables."""
+    if isinstance(pairs, PairStreamIndex):
+        return True
+    return (isinstance(pairs, PairStripsIndex)
+            and pairs.wi_idx.shape[0] == 0)
+
+
+def split_flat_by_bucket(flat, buckets):
+    """[O, ...] flat per-obs array -> per-bucket tuple of [L, n*F]
+    tables (contiguous reshape; no copy beyond layout)."""
+    if isinstance(flat, (tuple, list)):
+        return flat
+    f2 = flat.reshape(flat.shape[0], -1)
+    F = f2.shape[1]
+    outs = []
+    off = 0
+    for b in buckets:
+        L, n = b.cam_idx.shape
+        outs.append(jax.lax.slice_in_dim(
+            f2, off, off + L * n, axis=0).reshape(L, n * F))
+        off += L * n
+    return tuple(outs)

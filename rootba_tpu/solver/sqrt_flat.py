@@ -113,6 +113,18 @@ class FlatStage2(NamedTuple):
     lam: jnp.ndarray
 
 
+def _cam_parts(cam_strips) -> bool:
+    from rootba_tpu.solver.linearization import cam_parts_mode
+
+    return cam_parts_mode(cam_strips)
+
+
+def _pair_parts(pairs) -> bool:
+    from rootba_tpu.solver.linearization import pair_parts_mode
+
+    return pair_parts_mode(pairs)
+
+
 def _bucket_offsets(buckets):
     offs = [0]
     for b in buckets:
@@ -203,7 +215,7 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
     # pose jacobi scaling (add_Jp_diag2 -> linearizor_qr.cpp:104-110)
     diag_jp81 = None
     if (with_gram and cam_strips is not None
-            and cam_strips.wi_idx.shape[0] == 0):
+            and _cam_parts(cam_strips)):
         # one strip pass yields the full lambda-independent Jp gram;
         # diag2 is its block diagonal (the d2 tables' reduce is
         # subsumed)
@@ -214,7 +226,7 @@ def flat_linearize(cams, lm_ps, buckets, cam_flat, robust_norm,
                                     cam_strips)
         diag2 = jnp.diagonal(
             diag_jp81.reshape(num_cameras, P9, P9), axis1=1, axis2=2)
-    elif cam_strips is not None and cam_strips.wi_idx.shape[0] == 0:
+    elif cam_strips is not None and _cam_parts(cam_strips):
         from rootba_tpu.solver.linearization import cam_reduce_strips
 
         diag2 = cam_reduce_strips(tuple(d2_parts), buckets, cam_strips)
@@ -309,7 +321,7 @@ def flat_stage2(lin: FlatLin, buckets, cam_flat, lam, num_cameras,
             return yb.reshape(Lc, n * P9)
 
         ybp.append(_map_rows(rhs_chunk, [q_b, r_b, jp_b], L, n))
-    if cam_strips is not None and cam_strips.wi_idx.shape[0] == 0:
+    if cam_strips is not None and _cam_parts(cam_strips):
         from rootba_tpu.solver.linearization import cam_reduce_strips
 
         b = cam_reduce_strips(tuple(ybp), buckets, cam_strips)
@@ -488,8 +500,10 @@ def _sandwich_rows(lin, stage2, buckets, pairs, cam_strips):
         sqrt_ww_pair_strips,
     )
 
-    parts = (cam_strips is not None
-             and cam_strips.wi_idx.shape[0] == 0
+    # the W-free sandwich is implemented on the leftover-free STRIPS
+    # machinery only (sqrt_ww_pair_strips walks pattern groups); the
+    # stream index takes the normal W-table path
+    parts = (cam_strips is not None and _cam_parts(cam_strips)
              and isinstance(pairs, PairStripsIndex)
              and pairs.wi_idx.shape[0] == 0)
     slots = sum(b.cam_idx.shape[0] * b.cam_idx.shape[1]
@@ -518,10 +532,8 @@ def _rcs_factors(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
         w_build_table,
     )
 
-    parts = (cam_strips is not None
-             and cam_strips.wi_idx.shape[0] == 0
-             and isinstance(pairs, PairStripsIndex)
-             and pairs.wi_idx.shape[0] == 0)
+    parts = (cam_strips is not None and _cam_parts(cam_strips)
+             and _pair_parts(pairs))
     use_pallas = w_build_available(lin.Jp[0].dtype)
     Wp = []
     for bucket, q_b, jp_b in zip(buckets, stage2.Q1h, lin.Jp):
@@ -722,7 +734,17 @@ class FlatSqrtLinearizer(LinearizerBase):
         bsr = None
         if explicit or bsr_mode:
             grid = Nc if use_pallas else None
-            if opts.pair_gather == "strips":
+            if opts.pair_gather == "stream":
+                from rootba_tpu.bal.bucketing import build_pair_stream
+                from rootba_tpu.solver.linearization import (
+                    PairStreamIndex,
+                )
+
+                pairs_host = build_pair_stream(
+                    self.bp.buckets, N, grid_n=grid,
+                    dense_grid=explicit)
+                pairs = PairStreamIndex.from_host(pairs_host)
+            elif opts.pair_gather == "strips":
                 from rootba_tpu.bal.bucketing import build_pair_strips
                 from rootba_tpu.solver.linearization import (
                     PairStripsIndex,
@@ -772,11 +794,19 @@ class FlatSqrtLinearizer(LinearizerBase):
         # leftover-free strips + BSR never touch the CamCsr fallback;
         # dropping it saves its [~O]-sized device index tables
         # (~0.3 GB at final-13682, part of the HBM envelope)
-        if (bsr_mode and opts.pair_gather == "strips"
-                and opts.effective_strip_min_group(
-                    self.bp.num_observations) == 0):
+        if bsr_mode and (
+                opts.pair_gather == "stream"
+                or (opts.pair_gather == "strips"
+                    and opts.effective_strip_min_group(
+                        self.bp.num_observations) == 0)):
             self.cam_csr = None
-        if (explicit or bsr_mode) and opts.pair_gather == "strips":
+        if (explicit or bsr_mode) and opts.pair_gather == "stream":
+            from rootba_tpu.bal.bucketing import build_cam_stream
+            from rootba_tpu.solver.linearization import CamStreamIndex
+
+            cstrips = CamStreamIndex.from_host(
+                build_cam_stream(self.bp.buckets, N))
+        elif (explicit or bsr_mode) and opts.pair_gather == "strips":
             from rootba_tpu.bal.bucketing import build_cam_strips
             from rootba_tpu.solver.linearization import CamStripsIndex
 

@@ -805,3 +805,36 @@ def test_bsr_symmetric_half_storage(synthetic_problem, dtype):
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
                 err_msg=f"component {i} (sym-half bsr, {extra})")
+
+
+@pytest.mark.parametrize("gather", ["strips", "obs"])
+def test_pair_gather_stream_matches(synthetic_problem, dtype, gather):
+    """pair_gather='stream' (r5 default; structure-robust sub-stream
+    gathers + segment-sum fold) produces the same solve as the r4
+    'strips' pattern grouping and the per-obs 'obs' CSR."""
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="bsr",
+                     pair_gather=gather)
+    got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="bsr",
+                     pair_gather="stream")
+    rtol = 5e-4 if dtype.itemsize == 4 else 1e-9
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (stream vs {gather})")
+
+
+def test_pair_gather_stream_sc(synthetic_problem, dtype):
+    """SC solver on the stream index == strips index."""
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    common = dict(solver_type=SolverType.SCHUR_COMPLEMENT,
+                  dense_rcs_max_cameras=2048)
+    ref = _one_solve(bp, "einsum", 1, dtype.type,
+                     pair_gather="strips", **common)
+    got = _one_solve(bp, "einsum", 1, dtype.type,
+                     pair_gather="stream", **common)
+    rtol = 5e-4 if dtype.itemsize == 4 else 1e-9
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (sc stream vs strips)")
