@@ -926,8 +926,9 @@ def build_pair_stream(buckets, num_cameras: int, width: int = 16,
         npairs = iu.size
         rows_sub = _stream_tiles(L, n, slot_cap, npairs)
         S = -(-L // rows_sub)
-        wi_runs, wj_runs, rp_runs = [], [], []
-        for s in range(S):
+
+        def one_stream(s, b=b, n=n, iu=iu, ju=ju, npairs=npairs,
+                       rows_sub=rows_sub, L=L):
             l0 = s * rows_sub
             l1 = min(L, l0 + rows_sub)
             ci = b.cam_idx[l0:l1, iu].astype(np.int64)
@@ -947,9 +948,22 @@ def build_pair_stream(buckets, num_cameras: int, width: int = 16,
             fill = rows_sub * n
             (wi_p, wj_p), rp = _pad_runs(
                 pid, width, (wi[order], fill), (wj[order], fill))
-            wi_runs.append(wi_p.reshape(-1, width))
-            wj_runs.append(wj_p.reshape(-1, width))
-            rp_runs.append(rp)
+            return (wi_p.reshape(-1, width), wj_p.reshape(-1, width),
+                    rp)
+
+        # per-sub-stream work is embarrassingly parallel and numpy's
+        # sorts release the GIL (final-13682: ~200 streams)
+        from concurrent.futures import ThreadPoolExecutor
+
+        if S > 1:
+            with ThreadPoolExecutor(
+                    max_workers=min(16, os.cpu_count() or 1)) as pool:
+                results = list(pool.map(one_stream, range(S)))
+        else:
+            results = [one_stream(0)]
+        wi_runs = [r[0] for r in results]
+        wj_runs = [r[1] for r in results]
+        rp_runs = [r[2] for r in results]
         R = max([r.shape[0] for r in wi_runs] + [1])
         fill = rows_sub * n
         wi_st = np.full((S, R, width), fill, np.int32)
