@@ -930,39 +930,63 @@ def bsr_matvec(blocks2: jnp.ndarray, diag: jnp.ndarray,
 
 def bsr_matvec_pack(blocks2: jnp.ndarray,
                     bsr: BsrMatvecIndex) -> jnp.ndarray:
-    """Run-major packed block table [R, W, 9, 9] for
-    bsr_matvec_packed: gather the [R, W] block entries ONCE per stage2
-    (pad entries -> zero blocks).
+    """Run-major packed block table [R*W, 81] for bsr_matvec_packed:
+    gather the [R, W] block entries ONCE per stage2 (pad entries ->
+    zero blocks).
 
-    Why: bsr_matvec re-gathers the blocks and forms lane-padded
-    [cW, 9, 9] products on every application; inside a CG loop that
-    measured 1.17 ms/matvec at venice (~30x the ~40 us traffic
-    roofline of its 12.4 MB block table, r4 breakdown). The packed
-    form is loop-invariant (XLA hoists it out of the CG while-loop),
-    and each application is one gather + one batched dot_general."""
-    R, W = bsr.blk_idx.shape
+    Why: bsr_matvec re-gathers the blocks on every application; inside
+    a CG loop that measured 1.17 ms/matvec at venice (~30x the traffic
+    roofline of its r4 block table). The packed form is loop-invariant
+    (XLA hoists it out of the CG while-loop); each application then
+    streams the table with row slices -- no gathers. Kept strictly
+    2-D: an r5 venice run showed the old [R, W, 9, 9] form tile-pads
+    (8,128) over the trailing 9x9 to 16x its bytes (545 MB -> 8.51 GB,
+    HBM OOM at the clustered twin's 878k pairs)."""
     Hb = jnp.take(blocks2, bsr.blk_idx.reshape(-1), axis=0,
                   mode="fill", fill_value=0.0)  # [R*W, 81]
-    return Hb.reshape(R, W, POSE_SIZE, POSE_SIZE)
+    return Hb
 
 
 def bsr_matvec_packed(packed: jnp.ndarray, diag: jnp.ndarray,
                       bsr: BsrMatvecIndex, x: jnp.ndarray) -> jnp.ndarray:
-    """y = H x with the packed run-major block table: one x-row gather,
-    one MXU dot_general contracting (entry-in-run, column) jointly per
-    run, the camera-level idx2 reduce, plus the diagonal product.
-    Numerically equal to bsr_matvec up to f32 reassociation (HIGHEST
-    keeps the MXU contraction f32-exact)."""
+    """y = H x with the packed run-major block table: one x-row gather
+    (tiny fast source), chunked VPU block-row products over table row
+    SLICES (gather-free, fused through the [*, 81] -> [*, 9, 9]
+    reshape), width-run sums, the camera-level idx2 reduce, plus the
+    diagonal product. Numerically equal to bsr_matvec up to f32
+    reassociation."""
     P9_ = POSE_SIZE
     R, W = bsr.col_idx.shape
     xg = jnp.take(x, bsr.col_idx.reshape(-1), axis=0, mode="fill",
                   fill_value=0.0)  # [R*W, 9]
-    X = xg.reshape(R, W, P9_)
-    y_runs = jax.lax.dot_general(
-        packed, X, (((1, 3), (1, 2)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST)  # [R, 9]
+    chunk = max(1, min(R, (512 << 10) // max(W, 1)))
+    Rpad = -(-R // chunk) * chunk
+    packed_p = packed
+    xg_p = xg
+    if Rpad != R:
+        pad_rows = (Rpad - R) * W
+        packed_p = jnp.concatenate(
+            [packed, jnp.zeros((pad_rows, 81), packed.dtype)], axis=0)
+        xg_p = jnp.concatenate(
+            [xg, jnp.zeros((pad_rows, P9_), xg.dtype)], axis=0)
+
+    def chunk_sum(args):
+        Hb, xc = args
+        prod = jnp.sum(Hb.reshape(-1, P9_, P9_) * xc[:, None, :],
+                       axis=2)  # [cW, 9]
+        return jnp.sum(prod.reshape(chunk, W, P9_), axis=1)
+
+    nchunks = Rpad // chunk
+    if nchunks == 1:
+        rsum = chunk_sum((packed_p, xg_p))
+    else:
+        rsum = jax.lax.map(
+            chunk_sum,
+            (packed_p.reshape(nchunks, chunk * W, 81),
+             xg_p.reshape(nchunks, chunk * W, P9_))
+        ).reshape(Rpad, P9_)
     rsum = jnp.concatenate(
-        [y_runs, jnp.zeros((1, P9_), y_runs.dtype)], axis=0)
+        [rsum[:R], jnp.zeros((1, P9_), rsum.dtype)], axis=0)
     y_off = _level2_reduce(rsum, bsr.idx2)  # [N, 9]
     y_diag = jnp.sum(diag * x[:, None, :], axis=2)
     return y_diag + y_off
