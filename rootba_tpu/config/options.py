@@ -275,16 +275,17 @@ class SolverOptions:
         0, help="write the checkpoint every this many LM iterations "
                 "(0 = only resume, never write)")
     dense_rcs_max_cameras: int = opt(
-        1024, help="explicit-RCS dense/block-sparse crossover: "
+        2048, help="explicit-RCS dense/block-sparse crossover: "
                    "materialize the RCS as one dense [9N, 9N] matrix "
                    "when num_cameras <= this (the PCG matvec is a "
                    "single MXU GEMV); above it, assemble block-sparsely "
                    "(unique camera pairs, CSR gather-reduce matvec). "
-                   "The GEMV reads the whole [9N,9N] matrix per CG "
-                   "iteration while BAL pair graphs go sparse with N "
-                   "(venice-1778: 1.2% fill, 1.04 GB dense vs ~14 MB "
-                   "of gathered blocks), so the crossover sits near "
-                   "1k cameras; 0 disables both explicit modes")
+                   "r5: raised 1024 -> 2048 -- at the clustered "
+                   "venice twin's 55% pair density the BSR matvec's "
+                   "per-slot x-row gathers (2.1M/iteration) cost ~4x "
+                   "the 1.02 GB dense GEMV stream; dense wins "
+                   "whenever the [9N,9N] table fits HBM comfortably. "
+                   "0 disables both explicit modes")
     pair_gather: str = opt(
         "stream", help="explicit-RCS pair-product gather formulation: "
                        "'stream' (default, r5) tiles every pair slot "
