@@ -261,9 +261,13 @@ def run_problem(name, solver="SQUARE_ROOT", iters=20, overrides=None):
         "timing_attributed": attributed,
         "stage_times_measured_s": stage_times,
         "total_time_measured_mode_s": round(total_measured, 4),
-        "protocol": ("cvpr21:huber1px,eta0.01"
-                     + (",power_order20"
-                        if solver == "POWER_SCHUR_COMPLEMENT" else "")
+        # the structure tag makes rows from different synthetic
+        # generations incomparable to the regression gate (r5 moved
+        # every row to the clustered heavy-tail twins)
+        "protocol": ((f"cvpr21:huber1px,eta0.01"
+                      + (",power_order20"
+                         if solver == "POWER_SCHUR_COMPLEMENT" else "")
+                      + "+" + pstats.get("structure", "ring"))
                      if overrides is None else "custom"),
         "device": str(jax.devices()[0]),
         "recorded": time.strftime("%Y-%m-%dT%H:%M:%S"),
