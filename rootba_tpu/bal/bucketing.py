@@ -503,6 +503,11 @@ def _pad_runs(code_sorted, width, *cols):
     """Pad pair-sorted per-slot columns to width-aligned per-pair runs.
     Returns (padded columns..., run pair-codes) with pad slots left at
     the fill values pre-set in `fill`."""
+    if code_sorted.size == 0:
+        # fully-padded sub-stream (e.g. a trailing landmark range of
+        # row padding): no slots, no runs
+        return ([np.zeros(0, col.dtype) for col, _ in cols],
+                np.zeros(0, code_sorted.dtype))
     u, counts = np.unique(code_sorted, return_counts=True)
     padded = (counts + width - 1) // width * width
     total = int(padded.sum())
@@ -865,7 +870,10 @@ class PairStream(NamedTuple):
 
     pair_row: np.ndarray  # [P] int32 (<= pair_col)
     pair_col: np.ndarray  # [P] int32
-    width: int  # run width (static)
+    widths: Tuple[int, ...]  # run width per stack (adaptive: wide
+    #   buckets have few slots per (pair, stream), so a fixed W=16
+    #   pads 5-7x at final scale; chosen per bucket to minimize
+    #   padded-gather + run-scatter cost)
     stream_bucket: Tuple[int, ...]  # bucket id per stack
     rows_sub: Tuple[int, ...]  # landmark rows per sub-stream, per stack
     wi_idx: Tuple[np.ndarray, ...]  # per stack [S, R, W] int32 local
@@ -915,6 +923,7 @@ def build_pair_stream(buckets, num_cameras: int, width: int = 16,
 
     stream_bucket = []
     rows_sub_list = []
+    widths_list = []
     wi_stacks = []
     wj_stacks = []
     rp_stacks = []
@@ -945,11 +954,7 @@ def build_pair_stream(buckets, num_cameras: int, width: int = 16,
             wj = np.where(swap, oi, oj)
             order = np.argsort(code, kind="stable")
             pid = np.searchsorted(unique, code[order])
-            fill = rows_sub * n
-            (wi_p, wj_p), rp = _pad_runs(
-                pid, width, (wi[order], fill), (wj[order], fill))
-            return (wi_p.reshape(-1, width), wj_p.reshape(-1, width),
-                    rp)
+            return pid, wi[order], wj[order]
 
         # per-sub-stream work is embarrassingly parallel and numpy's
         # sorts release the GIL (final-13682: ~200 streams)
@@ -958,16 +963,42 @@ def build_pair_stream(buckets, num_cameras: int, width: int = 16,
         if S > 1:
             with ThreadPoolExecutor(
                     max_workers=min(16, os.cpu_count() or 1)) as pool:
-                results = list(pool.map(one_stream, range(S)))
+                sorted_streams = list(pool.map(one_stream, range(S)))
         else:
-            results = [one_stream(0)]
-        wi_runs = [r[0] for r in results]
-        wj_runs = [r[1] for r in results]
-        rp_runs = [r[2] for r in results]
-        R = max([r.shape[0] for r in wi_runs] + [1])
+            sorted_streams = [one_stream(0)]
+
+        # adaptive run width: wide buckets have few slots per
+        # (pair, stream), so W=16 pads 5-7x at final scale. Choose
+        # the W minimizing gathered-slot + run-scatter cost over the
+        # realized per-(pair, stream) slot counts (gathers ~6 ns/slot
+        # x2 sides, segment-sum ~60 ns/run -> runs weigh ~5 slots).
+        counts_all = []
+        for pid, _, _ in sorted_streams:
+            if pid.size:
+                counts_all.append(np.unique(pid, return_counts=True)[1])
+        counts_all = (np.concatenate(counts_all) if counts_all
+                      else np.zeros(0, np.int64))
+        best_w, best_cost = width, None
+        for w in (16, 8, 4, 2):
+            runs = int(np.sum(-(-counts_all // w)))
+            # ~6 ns/slot per gather side + ~8 ns/slot MXU fold vs
+            # ~60 ns/run segment-sum scatter
+            cost = runs * w * 2 + runs * 10
+            if best_cost is None or cost < best_cost:
+                best_cost, best_w = cost, w
+        bw = best_w
+
         fill = rows_sub * n
-        wi_st = np.full((S, R, width), fill, np.int32)
-        wj_st = np.full((S, R, width), fill, np.int32)
+        wi_runs, wj_runs, rp_runs = [], [], []
+        for pid, wi_s, wj_s in sorted_streams:
+            (wi_p, wj_p), rp = _pad_runs(
+                pid, bw, (wi_s, fill), (wj_s, fill))
+            wi_runs.append(wi_p.reshape(-1, bw))
+            wj_runs.append(wj_p.reshape(-1, bw))
+            rp_runs.append(rp)
+        R = max([r.shape[0] for r in wi_runs] + [1])
+        wi_st = np.full((S, R, bw), fill, np.int32)
+        wj_st = np.full((S, R, bw), fill, np.int32)
         rp_st = np.full((S, R), P, np.int32)
         for s in range(S):
             r = wi_runs[s].shape[0]
@@ -976,6 +1007,7 @@ def build_pair_stream(buckets, num_cameras: int, width: int = 16,
             rp_st[s, :r] = rp_runs[s]
         stream_bucket.append(bi)
         rows_sub_list.append(rows_sub)
+        widths_list.append(bw)
         wi_stacks.append(wi_st)
         wj_stacks.append(wj_st)
         rp_stacks.append(rp_st)
@@ -992,7 +1024,7 @@ def build_pair_stream(buckets, num_cameras: int, width: int = 16,
 
     return PairStream(
         pair_row=rows.astype(np.int32), pair_col=cols.astype(np.int32),
-        width=width,
+        widths=tuple(widths_list),
         stream_bucket=tuple(stream_bucket),
         rows_sub=tuple(rows_sub_list),
         wi_idx=tuple(wi_stacks), wj_idx=tuple(wj_stacks),

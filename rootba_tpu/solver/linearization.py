@@ -1366,11 +1366,11 @@ def compute_error_buckets(
 @jax.tree_util.register_pytree_node_class
 class PairStreamIndex:
     """Device copy of bucketing.PairStream (see its docstring).
-    (width, stream_bucket, rows_sub) are STATIC aux data."""
+    (widths, stream_bucket, rows_sub) are STATIC aux data."""
 
-    def __init__(self, width, stream_bucket, rows_sub, wi_idx, wj_idx,
+    def __init__(self, widths, stream_bucket, rows_sub, wi_idx, wj_idx,
                  run_pair, pair_row, pair_col, up_idx, lo_idx):
-        self.width = width
+        self.widths = widths
         self.stream_bucket = stream_bucket
         self.rows_sub = rows_sub
         self.wi_idx = wi_idx
@@ -1385,7 +1385,7 @@ class PairStreamIndex:
         children = (self.wi_idx, self.wj_idx, self.run_pair,
                     self.pair_row, self.pair_col, self.up_idx,
                     self.lo_idx)
-        aux = (self.width, self.stream_bucket, self.rows_sub)
+        aux = (self.widths, self.stream_bucket, self.rows_sub)
         return children, aux
 
     @classmethod
@@ -1399,7 +1399,7 @@ class PairStreamIndex:
     @staticmethod
     def from_host(ps) -> "PairStreamIndex":
         return PairStreamIndex(
-            width=ps.width,
+            widths=tuple(ps.widths),
             stream_bucket=tuple(ps.stream_bucket),
             rows_sub=tuple(ps.rows_sub),
             wi_idx=tuple(jnp.asarray(x) for x in ps.wi_idx),
@@ -1411,7 +1411,29 @@ class PairStreamIndex:
             lo_idx=jnp.asarray(ps.lo_idx))
 
 
-def _stream_sub_tables(tables, bucket, rows_sub, start, same_pair):
+def _outer81_fold_chunked(s1, s2, width, max_runs=16384):
+    """_outer81_fold with the run axis chunked under lax.map: the MXU
+    fold's [R, K9, K9] wide intermediate tile-pads (27,27) -> (32,128)
+    5.6x, so an unchunked 806k-run stream materializes 12.3 GB
+    (final-4585 HBM OOM, r5). Chunks bound it to ~250 MB."""
+    R = s1.shape[0] // width
+    if R <= max_runs:
+        return _outer81_fold(s1, s2, width)
+    K9 = s1.shape[1]
+    Rpad = -(-R // max_runs) * max_runs
+    if Rpad != R:
+        pad = jnp.zeros(((Rpad - R) * width, K9), s1.dtype)
+        s1 = jnp.concatenate([s1, pad], axis=0)
+        s2 = jnp.concatenate([s2, pad], axis=0)
+    nch = Rpad // max_runs
+    out = jax.lax.map(
+        lambda ab: _outer81_fold(ab[0], ab[1], width),
+        (s1.reshape(nch, max_runs * width, K9),
+         s2.reshape(nch, max_runs * width, K9)))
+    return out.reshape(Rpad, 81)[:R]
+
+
+def _stream_sub_tables(tables, bucket, rows_sub, start):
     """Dynamic-slice each [Lpad, n*K] table to [rows_sub, n*K] and
     reshape to the [rows_sub*n, K] slot table behind an optimization
     barrier: the barrier materializes the small sub-table so the slot
@@ -1451,9 +1473,9 @@ def pair_outer_stream(strip_a, strip_b, buckets,
     same = strip_a is strip_b
     dtype = strip_a[0].dtype
     P = ps.num_pairs
-    W = ps.width
     out = jnp.zeros((P + 1, 81), dtype)
     for t, bi in enumerate(ps.stream_bucket):
+        W = ps.widths[t]
         ta, tb = strip_a[bi], strip_b[bi]
         rs = ps.rows_sub[t]
         wi, wj, rp = ps.wi_idx[t], ps.wj_idx[t], ps.run_pair[t]
@@ -1464,20 +1486,20 @@ def pair_outer_stream(strip_a, strip_b, buckets,
         bucket = buckets[bi]
         starts = jnp.arange(S, dtype=jnp.int32) * rs
 
-        def one(args, ta_p=ta_p, tb_p=tb_p, rs=rs, bucket=bucket):
+        def one(args, ta_p=ta_p, tb_p=tb_p, rs=rs, bucket=bucket,
+                W=W):
             start, wi_s, wj_s = args
             if same:
-                (fa,) = _stream_sub_tables([ta_p], bucket, rs, start,
-                                           True)
+                (fa,) = _stream_sub_tables([ta_p], bucket, rs, start)
                 fb = fa
             else:
                 fa, fb = _stream_sub_tables([ta_p, tb_p], bucket, rs,
-                                            start, False)
+                                            start)
             si = jnp.take(fa, wi_s.reshape(-1), axis=0, mode="fill",
                           fill_value=0.0)
             sj = jnp.take(fb, wj_s.reshape(-1), axis=0, mode="fill",
                           fill_value=0.0)
-            return _outer81_fold(si, sj, W)  # [R, 81]
+            return _outer81_fold_chunked(si, sj, W)  # [R, 81]
 
         if S == 1:
             rows_t = one((starts[0], wi[0], wj[0]))[None]
@@ -1552,17 +1574,17 @@ def cam_gram_stream(terms, buckets, cs: CamStreamIndex,
             for ta_p, tb_p, sign, same_t in tabs:
                 if same_t:
                     (fa,) = _stream_sub_tables([ta_p], bucket, rs,
-                                               start, True)
+                                               start)
                     fb = fa
                 else:
                     fa, fb = _stream_sub_tables([ta_p, tb_p], bucket,
-                                                rs, start, False)
+                                                rs, start)
                 si = jnp.take(fa, w_s.reshape(-1), axis=0,
                               mode="fill", fill_value=0.0)
                 sj = si if same_t else jnp.take(
                     fb, w_s.reshape(-1), axis=0, mode="fill",
                     fill_value=0.0)
-                g = _outer81_fold(si, sj, W) * sign
+                g = _outer81_fold_chunked(si, sj, W) * sign
                 acc = g if acc is None else acc + g
             return acc  # [R, 81]
 
@@ -1597,7 +1619,7 @@ def cam_reduce_stream(tables, buckets, cs: CamStreamIndex,
 
         def one(args, ta_p=ta_p, rs=rs, bucket=bucket, F=F):
             start, w_s = args
-            (fa,) = _stream_sub_tables([ta_p], bucket, rs, start, True)
+            (fa,) = _stream_sub_tables([ta_p], bucket, rs, start)
             g = jnp.take(fa, w_s.reshape(-1), axis=0, mode="fill",
                          fill_value=0.0)
             return jnp.sum(g.reshape(-1, W, F), axis=1)  # [R, F]
