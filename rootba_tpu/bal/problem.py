@@ -414,8 +414,14 @@ def load_normalized_bal_problem(
             print(f"Autodetected input dataset type as {input_type}.")
 
     if input_type == DatasetType.ROOTBA:
-        problem = BalProblem.load_npz(options.input)
-        problem.quiet = options.quiet
+        if options.input.endswith(".cereal"):
+            # reference cereal binary (bal_problem.cpp:407-417)
+            from rootba_tpu.bal.rootba_io import load_rootba
+
+            problem = load_rootba(options.input, quiet=options.quiet)
+        else:
+            problem = BalProblem.load_npz(options.input)
+            problem.quiet = options.quiet
     elif input_type == DatasetType.BAL:
         problem = load_bal(options.input, options.quiet)
     elif input_type == DatasetType.BUNDLER:

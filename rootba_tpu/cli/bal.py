@@ -47,10 +47,14 @@ def run_app(summary_text: str, argv: Optional[List[str]] = None,
 
         t0 = time.monotonic()
         out_path = options.dataset.output_optimized_path
-        # .npz -> binary (cereal stand-in); .txt/.bal -> reference-
-        # readable BAL text (reference saves cereal via save_rootba,
-        # bal_problem.cpp:557-568; the text export restores interop)
-        if out_path.endswith((".txt", ".bal")):
+        # .cereal -> reference binary layout (save_rootba,
+        # bal_problem.cpp:557-568); .txt/.bal -> reference-readable
+        # BAL text; anything else -> npz
+        if out_path.endswith(".cereal"):
+            from rootba_tpu.bal.rootba_io import save_rootba
+
+            save_rootba(problem, out_path)
+        elif out_path.endswith((".txt", ".bal")):
             problem.save_bal(out_path)
         else:
             problem.save_npz(out_path)
