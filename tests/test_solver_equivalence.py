@@ -292,10 +292,17 @@ def test_sc_power_precond_dense_vs_implicit(synthetic_problem, dtype):
                      dense_rcs_max_cameras=0, **common)
     got = _one_solve(bp, "einsum", 1, dtype.type,
                      dense_rcs_max_cameras=2048, **common)
+    # dense vs implicit assemble the same H in different summation
+    # orders; f32 reassociation noise is amplified through the CG
+    # solve (components >= 2), same split tolerance as
+    # test_pair_gather_strips_vs_obs -- f64 stays tight, pinning
+    # algebraic equivalence
     rtol = 2e-4 if dtype.itemsize == 4 else 1e-8
+    rtol_cg = 2e-3 if dtype.itemsize == 4 else 1e-8
     for i, (a, b) in enumerate(zip(ref, got)):
+        tol = rtol_cg if i >= 2 else rtol
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            np.asarray(b), np.asarray(a), rtol=tol, atol=tol,
             err_msg=f"component {i} (sc power precond)")
 
 
