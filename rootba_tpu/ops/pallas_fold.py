@@ -125,3 +125,107 @@ def w_build_table(q_tab: jnp.ndarray, jp_tab: jnp.ndarray, n: int,
         out_shape=jax.ShapeDtypeStruct((L, n * 27), jnp.float32),
         interpret=interpret,
     )(q_tab, jp_tab, jnp.asarray(eq), jnp.asarray(ej))
+
+
+# ---------------------------------------------------------------------------
+# Run-folded 9x9 outer products (the stream reducers' hot op)
+
+# slots per grid block: divisible by every run width (2..32). Small
+# blocks balance the in-kernel [cb/W, cb] selector matmul against the
+# expansion matmuls: measured flat 43 ms across cb 256-1024 for 2.4M
+# slots at W=4/8, rising at 2048 (the selector's flops scale cb/W per
+# output row)
+_FOLD_CB = 512
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_expand_mats(K: int) -> Tuple[np.ndarray, np.ndarray]:
+    """0/1 expansion matrices for the per-slot block outer product:
+        (s1 @ E1)[s, k*81 + a*9 + b] = s1[s, k*9 + a]
+        (s2 @ E2)[s, k*81 + a*9 + b] = s2[s, k*9 + b]
+    so the elementwise product summed over the k-slices is the [81]
+    block-product row of slot s."""
+    E1 = np.zeros((K * 9, K * 81), np.float32)
+    E2 = np.zeros((K * 9, K * 81), np.float32)
+    for k in range(K):
+        for a in range(9):
+            for b in range(9):
+                col = k * 81 + a * 9 + b
+                E1[k * 9 + a, col] = 1.0
+                E2[k * 9 + b, col] = 1.0
+    return E1, E2
+
+
+def _fold_kernel(s1_ref, s2_ref, e1_ref, e2_ref, out_ref, *, K, W, M):
+    from jax.experimental import pallas as pl
+
+    cb = s1_ref.shape[0]
+    a = jax.lax.dot_general(
+        s1_ref[:], e1_ref[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)  # [cb, K*81]
+    b = jax.lax.dot_general(
+        s2_ref[:], e2_ref[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    p = a * b
+    acc = p[:, :81]
+    for k in range(1, K):
+        acc = acc + p[:, k * 81:(k + 1) * 81]
+    # zero the ragged tail block's out-of-range slot rows
+    i = pl.program_id(0)
+    slot = i * cb + jax.lax.broadcasted_iota(jnp.int32, (cb, 1), 0)
+    acc = jnp.where(slot < M, acc, 0.0)
+    # fold width-W runs with a 0/1 matmul (an in-VMEM [cb/W, cb]
+    # selector; sublane-axis reshapes/strided sums are relayouts)
+    run_of = jax.lax.broadcasted_iota(jnp.int32, (cb // W, cb), 1) // W
+    row = jax.lax.broadcasted_iota(jnp.int32, (cb // W, cb), 0)
+    F = (run_of == row).astype(acc.dtype)
+    out_ref[:] = jax.lax.dot_general(
+        F, acc, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def outer81_fold_available(dtype) -> bool:
+    return _available() and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+
+
+def outer81_fold_pallas(s1: jnp.ndarray, s2: jnp.ndarray, width: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """[M, K*9] slot-major strips -> [M/width, 81] run-folded block
+    products, entirely in VMEM.
+
+    Replaces the XLA dot_general form whose [R, K9, K9] wide
+    intermediate tile-pads (27,27)->(32,128) in HBM: ~16 KB of
+    write+read per run, which dominates venice's stage2 at the
+    adaptive widths W<=8 (measured 63 ns/slot; the in-VMEM kernel
+    leaves only the gathered inputs and the [R, 81] output in HBM)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K9 = s1.shape
+    K = K9 // 9
+    R = M // width
+    assert R * width == M
+    cb = _FOLD_CB
+    if M <= cb:
+        cb = max(width, -(-M // 8) * 8)
+        cb = -(-cb // width) * width
+    E1, E2 = _fold_expand_mats(K)
+    kern = functools.partial(_fold_kernel, K=K, W=width, M=M)
+    return pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(M, cb),),
+        in_specs=[
+            pl.BlockSpec((cb, K9), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, K9), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K9, K * 81), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K9, K * 81), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb // width, 81), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 81), jnp.float32),
+        interpret=interpret,
+    )(s1, s2, jnp.asarray(E1), jnp.asarray(E2))

@@ -808,6 +808,52 @@ class BsrMatvecIndex(NamedTuple):
             idx2=jnp.asarray(bm.idx2))
 
 
+def _table_dtype(t):
+    if isinstance(t, StreamFactors):
+        return t.dtype
+    if isinstance(t, (tuple, list)):
+        return t[0].dtype
+    return t.dtype
+
+
+def _scale_neg_chunked(Hup, pose_scale, pair_row, pair_col):
+    """-S_i Hup S_j applied IN PLACE over the [P, 81] pair table via a
+    chunked fori_loop on the aliased carry (one resident copy; the
+    whole-table expression form doubles the peak by the table size --
+    8.6 GB at final-13682's 18M clustered pairs)."""
+    P9_ = POSE_SIZE
+    P = Hup.shape[0]
+    C = min(P, max(1, (1 << 23) // 81))
+
+    def xform(rows, start, size):
+        if pose_scale is not None:
+            pr = jax.lax.dynamic_slice_in_dim(pair_row, start, size)
+            pc = jax.lax.dynamic_slice_in_dim(pair_col, start, size)
+            Sp = jnp.take(pose_scale, pr, axis=0)
+            Sc = jnp.take(pose_scale, pc, axis=0)
+            rows = rows * (jnp.repeat(Sp, P9_, axis=1)
+                           * jnp.tile(Sc, (1, P9_)))
+        return -rows
+
+    nfull = P // C
+    tail = P - nfull * C
+    if tail:
+        # static-size tail chunk first: the main loop reads from the
+        # partially-transformed buffer, so chunks must never overlap
+        rows = jax.lax.dynamic_slice_in_dim(Hup, nfull * C, tail,
+                                            axis=0)
+        Hup = jax.lax.dynamic_update_slice_in_dim(
+            Hup, xform(rows, nfull * C, tail), nfull * C, axis=0)
+
+    def step(i, buf):
+        start = i * C
+        rows = jax.lax.dynamic_slice_in_dim(buf, start, C, axis=0)
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, xform(rows, start, C), start, axis=0)
+
+    return jax.lax.fori_loop(0, nfull, step, Hup)
+
+
 def assemble_rcs_bsr(strip_a, strip_b, diag_terms, cam_flat, csr,
                      pairs, lam, num_cameras, buckets=None,
                      cam_strips=None, pose_scale=None,
@@ -826,8 +872,7 @@ def assemble_rcs_bsr(strip_a, strip_b, diag_terms, cam_flat, csr,
         SCHUR_JACOBI preconditioner).
     """
     P9_ = POSE_SIZE
-    dtype = (strip_a[0] if isinstance(strip_a, (tuple, list))
-             else strip_a).dtype
+    dtype = _table_dtype(strip_a)
     N = num_cameras
     lam = lam.astype(dtype)
 
@@ -856,12 +901,6 @@ def assemble_rcs_bsr(strip_a, strip_b, diag_terms, cam_flat, csr,
         diag81 = jax.ops.segment_sum(dcon, cam_flat, num_segments=N)
 
     if pose_scale is not None:
-        # deferred jacobi pose scale (see sqrt_flat.FlatLin):
-        # H_ij <- S_i H_u,ij S_j applied at the [P, 81]/[N, 81] level
-        Sp = jnp.take(pose_scale, pairs.pair_row, axis=0)
-        Sc = jnp.take(pose_scale, pairs.pair_col, axis=0)
-        Hup = Hup * (jnp.repeat(Sp, P9_, axis=1)
-                     * jnp.tile(Sc, (1, P9_)))
         diag81 = diag81 * (jnp.repeat(pose_scale, P9_, axis=1)
                            * jnp.tile(pose_scale, (1, P9_)))
 
@@ -870,12 +909,45 @@ def assemble_rcs_bsr(strip_a, strip_b, diag_terms, cam_flat, csr,
         # half storage: [P, 81] strict-pair blocks only; the matvec
         # (bsr_matvec_sym) applies the transpose direction from the
         # same table. Halves the dominant HBM buffer -- final-13682's
-        # clustered pair density makes the [2P, 81] form 11.7 GB
-        return -Hup, diag
+        # clustered pair density makes the [2P, 81] form 11.7 GB.
+        # Scale+negate run IN PLACE over the accumulator (chunked
+        # fori_loop on the aliased carry): a whole-table
+        # `Hup * scale_rows` expression doubles the peak by the full
+        # 8.6 GB table at final-13682 (r5 OOM)
+        return _scale_neg_chunked(Hup, pose_scale, pairs.pair_row,
+                                  pairs.pair_col), diag
+    # deferred jacobi pose scale (see sqrt_flat.FlatLin):
+    # H_ij <- S_i H_u,ij S_j applied at the [P, 81] level, fused into
+    # the chunked blocks2 fill (no scaled-Hup intermediate)
     perm_t = jnp.asarray(
         np.arange(81).reshape(P9_, P9_).T.reshape(-1), jnp.int32)
-    blocks2 = jnp.concatenate(
-        [-Hup, -jnp.take(Hup, perm_t, axis=1)], axis=0)  # [2P, 81]
+    P = Hup.shape[0]
+    blocks2 = jnp.zeros((2 * P, 81), dtype)
+    C = min(P, max(1, (1 << 23) // 81))
+
+    def fill(start, buf):
+        rows = jax.lax.dynamic_slice_in_dim(Hup, start, C, axis=0)
+        if pose_scale is not None:
+            pr = jax.lax.dynamic_slice_in_dim(pairs.pair_row, start, C)
+            pc = jax.lax.dynamic_slice_in_dim(pairs.pair_col, start, C)
+            Sp = jnp.take(pose_scale, pr, axis=0)
+            Sc = jnp.take(pose_scale, pc, axis=0)
+            rows = rows * (jnp.repeat(Sp, P9_, axis=1)
+                           * jnp.tile(Sc, (1, P9_)))
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, -rows, start, axis=0)
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, -jnp.take(rows, perm_t, axis=1), P + start, axis=0)
+
+    nfull = P // C
+    blocks2 = jax.lax.fori_loop(
+        0, nfull, lambda i, b: fill(i * C, b), blocks2)
+    if P % C:
+        # tail chunk: dynamic_slice clamps the start so the last C
+        # rows are re-read; re-writing them with the same values is
+        # idempotent (no double-scale: fill always reads from the
+        # unscaled Hup)
+        blocks2 = fill(P - C, blocks2)
     return blocks2, diag
 
 
@@ -1109,8 +1181,7 @@ def assemble_rcs_dense(strip_a, strip_b, diag_terms, cam_flat, csr,
     gather-free HBM/MXU GEMV CG iterations.
     """
     P9_ = POSE_SIZE
-    dtype = (strip_a[0] if isinstance(strip_a, (tuple, list))
-             else strip_a).dtype
+    dtype = _table_dtype(strip_a)
     N = num_cameras
     lam = lam.astype(dtype)
 
@@ -1415,7 +1486,19 @@ def _outer81_fold_chunked(s1, s2, width, max_runs=16384):
     """_outer81_fold with the run axis chunked under lax.map: the MXU
     fold's [R, K9, K9] wide intermediate tile-pads (27,27) -> (32,128)
     5.6x, so an unchunked 806k-run stream materializes 12.3 GB
-    (final-4585 HBM OOM, r5). Chunks bound it to ~250 MB."""
+    (final-4585 HBM OOM, r5). Chunks bound it to ~250 MB.
+
+    On TPU/f32 the whole fold runs as a Pallas kernel instead: the
+    wide intermediate never leaves VMEM, cutting per-run HBM traffic
+    from ~16 KB (write+read the padded [R, 27, 27]) to the [R, 81]
+    output row (see ops/pallas_fold.outer81_fold_pallas)."""
+    from rootba_tpu.ops.pallas_fold import (
+        outer81_fold_available,
+        outer81_fold_pallas,
+    )
+
+    if outer81_fold_available(s1.dtype):
+        return outer81_fold_pallas(s1, s2, width)
     R = s1.shape[0] // width
     if R <= max_runs:
         return _outer81_fold(s1, s2, width)
@@ -1433,6 +1516,21 @@ def _outer81_fold_chunked(s1, s2, width, max_runs=16384):
     return out.reshape(Rpad, 81)[:R]
 
 
+class StreamFactors(NamedTuple):
+    """Lazy W = Q1h x Jp factor tables for the stream reducers: the
+    slot rows W27[o, c*9+a] = sum_r q[o, r*3+c] jp[o, r*9+a] are built
+    AFTER the slot gather (24 gathered floats instead of 27) so the
+    [O, 27] W table (3.1 GB at final-13682) never exists in HBM. Per
+    bucket: q [L, n*6], jp [L, n*18]."""
+
+    q: tuple
+    jp: tuple
+
+    @property
+    def dtype(self):
+        return self.q[0].dtype
+
+
 def _stream_sub_tables(tables, bucket, rows_sub, start):
     """Dynamic-slice each [Lpad, n*K] table to [rows_sub, n*K] and
     reshape to the [rows_sub*n, K] slot table behind an optimization
@@ -1443,6 +1541,10 @@ def _stream_sub_tables(tables, bucket, rows_sub, start):
     outs = []
     for t in tables:
         n = bucket.cam_idx.shape[1]
+        if isinstance(t, tuple):
+            outs.append(tuple(_stream_sub_tables(list(t), bucket,
+                                                 rows_sub, start)))
+            continue
         K = t.shape[1] // n
         sub = jax.lax.dynamic_slice_in_dim(t, start, rows_sub, axis=0)
         outs.append(jax.lax.optimization_barrier(
@@ -1450,7 +1552,23 @@ def _stream_sub_tables(tables, bucket, rows_sub, start):
     return outs
 
 
+def _gather_slot_rows(sub, idx):
+    """Gather slot rows from a sub-table (or build fused-W rows from a
+    (q, jp) sub-table pair; see StreamFactors)."""
+    if isinstance(sub, tuple):
+        q6, jp18 = sub
+        g6 = jnp.take(q6, idx, axis=0, mode="fill", fill_value=0.0)
+        g18 = jnp.take(jp18, idx, axis=0, mode="fill", fill_value=0.0)
+        return (jnp.repeat(g6[:, :3], 9, axis=1)
+                * jnp.tile(g18[:, :9], (1, 3))
+                + jnp.repeat(g6[:, 3:], 9, axis=1)
+                * jnp.tile(g18[:, 9:], (1, 3)))
+    return jnp.take(sub, idx, axis=0, mode="fill", fill_value=0.0)
+
+
 def _pad_stack_rows(t, Lpad):
+    if isinstance(t, tuple):
+        return tuple(_pad_stack_rows(x, Lpad) for x in t)
     L = t.shape[0]
     if L == Lpad:
         return t
@@ -1470,8 +1588,16 @@ def pair_outer_stream(strip_a, strip_b, buckets,
     replacement for the pattern-grouped strips reduction: cost is
     O(slots) narrow fast-regime gathers regardless of covisibility
     regularity (see bucketing.PairStream)."""
-    same = strip_a is strip_b
-    dtype = strip_a[0].dtype
+    if isinstance(strip_a, StreamFactors):
+        strip_a = tuple(zip(strip_a.q, strip_a.jp))
+        strip_b = strip_a
+        same = True
+    else:
+        same = strip_a is strip_b
+        if isinstance(strip_b, StreamFactors):
+            strip_b = tuple(zip(strip_b.q, strip_b.jp))
+    dtype = (strip_a[0][0] if isinstance(strip_a[0], tuple)
+             else strip_a[0]).dtype
     P = ps.num_pairs
     out = jnp.zeros((P + 1, 81), dtype)
     for t, bi in enumerate(ps.stream_bucket):
@@ -1486,28 +1612,29 @@ def pair_outer_stream(strip_a, strip_b, buckets,
         bucket = buckets[bi]
         starts = jnp.arange(S, dtype=jnp.int32) * rs
 
-        def one(args, ta_p=ta_p, tb_p=tb_p, rs=rs, bucket=bucket,
-                W=W):
-            start, wi_s, wj_s = args
+        def one(out_c, args, ta_p=ta_p, tb_p=tb_p, rs=rs,
+                bucket=bucket, W=W):
+            start, wi_s, wj_s, rp_s = args
             if same:
                 (fa,) = _stream_sub_tables([ta_p], bucket, rs, start)
                 fb = fa
             else:
                 fa, fb = _stream_sub_tables([ta_p, tb_p], bucket, rs,
                                             start)
-            si = jnp.take(fa, wi_s.reshape(-1), axis=0, mode="fill",
-                          fill_value=0.0)
-            sj = jnp.take(fb, wj_s.reshape(-1), axis=0, mode="fill",
-                          fill_value=0.0)
-            return _outer81_fold_chunked(si, sj, W)  # [R, 81]
+            si = _gather_slot_rows(fa, wi_s.reshape(-1))
+            sj = _gather_slot_rows(fb, wj_s.reshape(-1))
+            rows = _outer81_fold_chunked(si, sj, W)  # [R, 81]
+            # accumulate THIS sub-stream's runs straight into the
+            # [P+1, 81] table: materializing all S*R run rows for one
+            # big segment-sum costs 19 GB of HLO temps at final-13682
+            # (23.9M run rows + the remat copy, r5 OOM dump) -- the
+            # scatter-add count is identical either way
+            return out_c.at[rp_s].add(rows), None
 
         if S == 1:
-            rows_t = one((starts[0], wi[0], wj[0]))[None]
+            out, _ = one(out, (starts[0], wi[0], wj[0], rp[0]))
         else:
-            rows_t = jax.lax.map(one, (starts, wi, wj))
-        out = out + jax.ops.segment_sum(
-            rows_t.reshape(S * R, 81), rp.reshape(-1),
-            num_segments=P + 1)
+            out, _ = jax.lax.scan(one, out, (starts, wi, wj, rp))
     return out[:P]
 
 
@@ -1551,7 +1678,13 @@ def cam_gram_stream(terms, buckets, cs: CamStreamIndex,
              sum_terms sign * A_slot' B_slot. Terms are per-bucket
     tuples of [L, n*K*9] tables."""
     N = num_cameras
-    dtype = terms[0][0][0].dtype
+    terms = [(tuple(zip(A.q, A.jp)) if isinstance(A, StreamFactors)
+              else A,
+              tuple(zip(B.q, B.jp)) if isinstance(B, StreamFactors)
+              else B,
+              sign, A is B) for A, B, sign in terms]
+    t00 = terms[0][0][0]
+    dtype = (t00[0] if isinstance(t00, tuple) else t00).dtype
     W = cs.width
     out = jnp.zeros((N + 1, 81), dtype)
     for t, bi in enumerate(cs.stream_bucket):
@@ -1561,15 +1694,14 @@ def cam_gram_stream(terms, buckets, cs: CamStreamIndex,
         Lpad = S * rs
         bucket = buckets[bi]
         tabs = []
-        for A, B, sign in terms:
-            same_t = A is B
+        for A, B, sign, same_t in terms:
             ta_p = _pad_stack_rows(A[bi], Lpad)
             tb_p = ta_p if same_t else _pad_stack_rows(B[bi], Lpad)
             tabs.append((ta_p, tb_p, sign, same_t))
         starts = jnp.arange(S, dtype=jnp.int32) * rs
 
-        def one(args, tabs=tabs, rs=rs, bucket=bucket):
-            start, w_s = args
+        def one(out_c, args, tabs=tabs, rs=rs, bucket=bucket):
+            start, w_s, rc_s = args
             acc = None
             for ta_p, tb_p, sign, same_t in tabs:
                 if same_t:
@@ -1579,22 +1711,19 @@ def cam_gram_stream(terms, buckets, cs: CamStreamIndex,
                 else:
                     fa, fb = _stream_sub_tables([ta_p, tb_p], bucket,
                                                 rs, start)
-                si = jnp.take(fa, w_s.reshape(-1), axis=0,
-                              mode="fill", fill_value=0.0)
-                sj = si if same_t else jnp.take(
-                    fb, w_s.reshape(-1), axis=0, mode="fill",
-                    fill_value=0.0)
+                si = _gather_slot_rows(fa, w_s.reshape(-1))
+                sj = si if same_t else _gather_slot_rows(
+                    fb, w_s.reshape(-1))
                 g = _outer81_fold_chunked(si, sj, W) * sign
                 acc = g if acc is None else acc + g
-            return acc  # [R, 81]
+            # scatter this sub-stream's runs in place (see
+            # pair_outer_stream: no S*R materialization)
+            return out_c.at[rc_s].add(acc), None
 
         if S == 1:
-            rows_t = one((starts[0], w[0]))[None]
+            out, _ = one(out, (starts[0], w[0], rc[0]))
         else:
-            rows_t = jax.lax.map(one, (starts, w))
-        out = out + jax.ops.segment_sum(
-            rows_t.reshape(S * R, 81), rc.reshape(-1),
-            num_segments=N + 1)
+            out, _ = jax.lax.scan(one, out, (starts, w, rc))
     return out[:N]
 
 
@@ -1617,21 +1746,21 @@ def cam_reduce_stream(tables, buckets, cs: CamStreamIndex,
         F = ta_p.shape[1] // n
         starts = jnp.arange(S, dtype=jnp.int32) * rs
 
-        def one(args, ta_p=ta_p, rs=rs, bucket=bucket, F=F):
-            start, w_s = args
+        if out is None:
+            out = jnp.zeros((N + 1, F), dtype)
+
+        def one(out_c, args, ta_p=ta_p, rs=rs, bucket=bucket, F=F):
+            start, w_s, rc_s = args
             (fa,) = _stream_sub_tables([ta_p], bucket, rs, start)
             g = jnp.take(fa, w_s.reshape(-1), axis=0, mode="fill",
                          fill_value=0.0)
-            return jnp.sum(g.reshape(-1, W, F), axis=1)  # [R, F]
+            rows = jnp.sum(g.reshape(-1, W, F), axis=1)  # [R, F]
+            return out_c.at[rc_s].add(rows), None
 
         if S == 1:
-            rows_t = one((starts[0], w[0]))[None]
+            out, _ = one(out, (starts[0], w[0], rc[0]))
         else:
-            rows_t = jax.lax.map(one, (starts, w))
-        part = jax.ops.segment_sum(
-            rows_t.reshape(S * R, -1), rc.reshape(-1),
-            num_segments=N + 1)
-        out = part if out is None else out + part
+            out, _ = jax.lax.scan(one, out, (starts, w, rc))
     if out is None:
         return jnp.zeros((N, tables[0].shape[1]), dtype)
     return out[:N]

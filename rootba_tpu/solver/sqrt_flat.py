@@ -488,6 +488,12 @@ def _cached_diag81(lin: FlatLin, Wa, buckets, cam_strips):
 # the path at toy size.
 _SANDWICH_MIN_SLOTS = 48_000_000
 
+# materialized-W table budget for the stream path (see _rcs_factors):
+# above this many bytes the stream reducers gather (Q1h, Jp) factor
+# rows and build W post-gather instead. Module global so tests can
+# force the fused path at toy size.
+_FUSED_W_MIN_BYTES = 1_500_000_000
+
 
 def _sandwich_rows(lin, stage2, buckets, pairs, cam_strips):
     """W-free pair/diag rows for the sqrt RCS assembly (see
@@ -534,6 +540,27 @@ def _rcs_factors(lin: FlatLin, stage2: FlatStage2, buckets, pairs,
 
     parts = (cam_strips is not None and _cam_parts(cam_strips)
              and _pair_parts(pairs))
+    # fused-W streaming: above the table budget, never materialize the
+    # [O, 27] W table -- the stream reducers gather the Q1h (6 f32) and
+    # Jp (18 f32) slot rows and build W rows post-gather (24 gathered
+    # bytes/slot instead of 27, zero resident table; 3.1 GB at
+    # final-13682). Below the budget the materialized (Pallas-built)
+    # table wins: it is read once per pair SIDE, and venice-scale
+    # tables fit comfortably.
+    from rootba_tpu.solver.linearization import (
+        CamStreamIndex,
+        PairStreamIndex,
+        StreamFactors,
+    )
+
+    total_slots = sum(b.cam_idx.shape[0] * b.cam_idx.shape[1]
+                      for b in buckets)
+    itemsize = jnp.dtype(lin.Jp[0].dtype).itemsize
+    if (parts and isinstance(pairs, PairStreamIndex)
+            and isinstance(cam_strips, CamStreamIndex)
+            and total_slots * 27 * itemsize > _FUSED_W_MIN_BYTES):
+        Wt = StreamFactors(q=tuple(stage2.Q1h), jp=tuple(lin.Jp))
+        return Wt, Wt, [(lin.Jp, lin.Jp, 1.0), (Wt, Wt, -1.0)]
     use_pallas = w_build_available(lin.Jp[0].dtype)
     Wp = []
     for bucket, q_b, jp_b in zip(buckets, stage2.Q1h, lin.Jp):

@@ -50,3 +50,21 @@ def test_w_build_gated_by_bucket_width():
     # width gating is backend-independent (False regardless of device)
     for n in (W_BUILD_MAX_N * 2, 64, 128):
         assert not w_build_available(jnp.float32, n)
+
+
+@pytest.mark.parametrize("width,K", [(2, 2), (4, 3), (16, 3)])
+def test_outer81_fold_pallas_matches(width, K):
+    """outer81_fold_pallas (interpret mode) == the XLA dot_general
+    fold, including the ragged last grid block."""
+    from rootba_tpu.ops.pallas_fold import outer81_fold_pallas
+    from rootba_tpu.solver.linearization import _outer81_fold
+
+    rng = np.random.default_rng(3)
+    M = (3 * 512 + 5 * width)  # ragged vs the 512-slot block
+    M = M // width * width
+    s1 = jnp.asarray(rng.standard_normal((M, K * 9)), jnp.float32)
+    s2 = jnp.asarray(rng.standard_normal((M, K * 9)), jnp.float32)
+    ref = np.asarray(_outer81_fold(s1, s2, width))
+    out = np.asarray(outer81_fold_pallas(s1, s2, width,
+                                         interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

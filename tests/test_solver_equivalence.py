@@ -845,3 +845,40 @@ def test_pair_gather_stream_sc(synthetic_problem, dtype):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
             err_msg=f"component {i} (sc stream vs strips)")
+
+
+def test_pair_gather_stream_fused_w(synthetic_problem, dtype,
+                                    monkeypatch):
+    """Fused-W streaming (W rows built post-gather from Q1h/Jp factor
+    rows; the final-13682 memory path) == the materialized-W stream."""
+    from rootba_tpu.solver import sqrt_flat as sf
+
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="bsr",
+                     pair_gather="stream")
+    monkeypatch.setattr(sf, "_FUSED_W_MIN_BYTES", 0)
+    got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="bsr",
+                     pair_gather="stream")
+    rtol = 5e-4 if dtype.itemsize == 4 else 1e-9
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (fused-W stream)")
+
+
+def test_pair_gather_stream_fused_w_dense(synthetic_problem, dtype,
+                                          monkeypatch):
+    """Fused-W factors through the DENSE stream assembler."""
+    from rootba_tpu.solver import sqrt_flat as sf
+
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pair_gather="stream", pallas_cg="off")
+    monkeypatch.setattr(sf, "_FUSED_W_MIN_BYTES", 0)
+    got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="dense",
+                     pair_gather="stream", pallas_cg="off")
+    rtol = 5e-4 if dtype.itemsize == 4 else 1e-9
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (fused-W dense stream)")
