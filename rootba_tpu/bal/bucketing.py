@@ -896,6 +896,11 @@ def _stream_tiles(L: int, n: int, slot_cap: int,
     return rows
 
 
+# pair-slot count above which the stream index shrinks its sub-tables
+# to u16 indexing (module global so tests can force it at toy size)
+_U16_SLOT_THRESHOLD = 80_000_000
+
+
 def build_pair_stream(buckets, num_cameras: int, width: int = 16,
                       grid_n: int | None = None,
                       dense_grid: bool = True,
@@ -907,6 +912,7 @@ def build_pair_stream(buckets, num_cameras: int, width: int = 16,
 
     # pass 1: global unique pair codes (per-bucket uniques merged)
     uniques = []
+    total_slots = 0
     for b in buckets:
         L, n = b.cam_idx.shape
         if L == 0 or n < 2:
@@ -915,11 +921,22 @@ def build_pair_stream(buckets, num_cameras: int, width: int = 16,
         ci = b.cam_idx[:, iu].astype(np.int64)
         cj = b.cam_idx[:, ju].astype(np.int64)
         valid = b.mask[:, iu] & b.mask[:, ju]
+        total_slots += int(valid.sum())
         code = np.minimum(ci, cj) * N + np.maximum(ci, cj)
         uniques.append(np.unique(code[valid]))
     unique = (np.unique(np.concatenate(uniques)) if uniques
               else np.zeros(0, np.int64))
     P = unique.size
+
+    # giant pair graphs: shrink the sub-tables so every slot index
+    # fits u16 -- the [S, R, W] wi/wj tables are the second-largest
+    # resident buffer at final-13682 scale (3.1 GB in i32 at ~240M
+    # padded slots; u16 halves them). The fill sentinel rows_sub*n
+    # must itself fit, hence the cap at 65535 rows.
+    idx_dtype = np.int32
+    if total_slots > _U16_SLOT_THRESHOLD and slot_cap > 65_535:
+        slot_cap = 65_535
+        idx_dtype = np.uint16
 
     stream_bucket = []
     rows_sub_list = []
@@ -997,8 +1014,8 @@ def build_pair_stream(buckets, num_cameras: int, width: int = 16,
             wj_runs.append(wj_p.reshape(-1, bw))
             rp_runs.append(rp)
         R = max([r.shape[0] for r in wi_runs] + [1])
-        wi_st = np.full((S, R, bw), fill, np.int32)
-        wj_st = np.full((S, R, bw), fill, np.int32)
+        wi_st = np.full((S, R, bw), fill, idx_dtype)
+        wj_st = np.full((S, R, bw), fill, idx_dtype)
         rp_st = np.full((S, R), P, np.int32)
         for s in range(S):
             r = wi_runs[s].shape[0]

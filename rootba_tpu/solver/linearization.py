@@ -1621,8 +1621,9 @@ def pair_outer_stream(strip_a, strip_b, buckets,
             else:
                 fa, fb = _stream_sub_tables([ta_p, tb_p], bucket, rs,
                                             start)
-            si = _gather_slot_rows(fa, wi_s.reshape(-1))
-            sj = _gather_slot_rows(fb, wj_s.reshape(-1))
+            # u16 index tables (giant pair graphs) widen per sub-stream
+            si = _gather_slot_rows(fa, wi_s.reshape(-1).astype(jnp.int32))
+            sj = _gather_slot_rows(fb, wj_s.reshape(-1).astype(jnp.int32))
             rows = _outer81_fold_chunked(si, sj, W)  # [R, 81]
             # accumulate THIS sub-stream's runs straight into the
             # [P+1, 81] table: materializing all S*R run rows for one

@@ -882,3 +882,21 @@ def test_pair_gather_stream_fused_w_dense(synthetic_problem, dtype,
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
             err_msg=f"component {i} (fused-W dense stream)")
+
+
+def test_pair_gather_stream_u16(synthetic_problem, dtype, monkeypatch):
+    """u16 stream indexing (giant-pair-graph memory mode: sub-tables
+    capped at 65535 rows, half-width wi/wj tables) == i32 stream."""
+    from rootba_tpu.bal import bucketing as bk
+
+    bp = bucketize(synthetic_problem, pow2_from=9)
+    ref = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="bsr",
+                     pair_gather="stream")
+    monkeypatch.setattr(bk, "_U16_SLOT_THRESHOLD", 0)
+    got = _one_solve(bp, "flat", 1, dtype.type, sqrt_rcs_mode="bsr",
+                     pair_gather="stream")
+    rtol = 5e-4 if dtype.itemsize == 4 else 1e-9
+    for i, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=rtol, atol=rtol,
+            err_msg=f"component {i} (u16 stream)")
