@@ -793,19 +793,39 @@ def sqrt_ww_diag_strips(q_tabs, jp_tabs, buckets,
 
 
 
-class BsrMatvecIndex(NamedTuple):
-    """Device copy of bucketing.BsrMatvec (see its docstring)."""
+@jax.tree_util.register_pytree_node_class
+class BsrMatvecIndex:
+    """Device copy of bucketing.BsrMatvec (see its docstring).
 
-    blk_idx: jnp.ndarray  # [R, width] int32 (pad = 2P)
-    col_idx: jnp.ndarray  # [R, width] int32 (pad = N)
-    idx2: jnp.ndarray  # [N, vmax] int32 (pad = R)
+    blk_idx/col_idx are stored FLAT [R*width] (width static aux): a
+    2-D [R, width<=16] i32 table tile-pads its minor dim to 128 --
+    16x resident bytes, 2x 2.3 GB at final-13682's 36M matvec entries.
+    Consumers reshape per chunk."""
+
+    def __init__(self, blk_idx, col_idx, idx2, width):
+        self.blk_idx = blk_idx  # [R*width] int32 flat (pad = 2P)
+        self.col_idx = col_idx  # [R*width] int32 flat (pad = N)
+        self.idx2 = idx2  # [N, vmax] int32 (pad = R)
+        self.width = width
+
+    def tree_flatten(self):
+        return ((self.blk_idx, self.col_idx, self.idx2), (self.width,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
+
+    @property
+    def shape2d(self):
+        return (self.blk_idx.shape[0] // self.width, self.width)
 
     @staticmethod
     def from_host(bm) -> "BsrMatvecIndex":
         return BsrMatvecIndex(
-            blk_idx=jnp.asarray(bm.blk_idx),
-            col_idx=jnp.asarray(bm.col_idx),
-            idx2=jnp.asarray(bm.idx2))
+            blk_idx=jnp.asarray(np.asarray(bm.blk_idx).reshape(-1)),
+            col_idx=jnp.asarray(np.asarray(bm.col_idx).reshape(-1)),
+            idx2=jnp.asarray(bm.idx2),
+            width=int(np.asarray(bm.blk_idx).shape[1]))
 
 
 def _table_dtype(t):
@@ -961,23 +981,24 @@ def bsr_matvec(blocks2: jnp.ndarray, diag: jnp.ndarray,
     count (~2P gathered rows per application, no [9G, 9G] matrix)."""
     P9_ = POSE_SIZE
     N = x.shape[0]
-    R, W = bsr.blk_idx.shape
+    R, W = bsr.shape2d
     # row-chunked like csr_cam_reduce: one chunk's [cW, 81+9]
     # transients live at a time
     chunk = max(1, min(R, (512 << 10) // max(W, 1)))
     Rpad = -(-R // chunk) * chunk
     bidx, cidx = bsr.blk_idx, bsr.col_idx
     if Rpad != R:
+        pad = (Rpad - R) * W
         bidx = jnp.concatenate(
-            [bidx, jnp.full((Rpad - R, W), blocks2.shape[0], jnp.int32)])
+            [bidx, jnp.full((pad,), blocks2.shape[0], jnp.int32)])
         cidx = jnp.concatenate(
-            [cidx, jnp.full((Rpad - R, W), N, jnp.int32)])
+            [cidx, jnp.full((pad,), N, jnp.int32)])
 
     def chunk_sum(ix):
         bi, ci = ix
-        Hb = jnp.take(blocks2, bi.reshape(-1), axis=0, mode="fill",
+        Hb = jnp.take(blocks2, bi, axis=0, mode="fill",
                       fill_value=0.0)  # [cW, 81]
-        xg = jnp.take(x, ci.reshape(-1), axis=0, mode="fill",
+        xg = jnp.take(x, ci, axis=0, mode="fill",
                       fill_value=0.0)  # [cW, 9]
         # y_e[a] = sum_b Hb[e, a*9+b] xg[e, b] (VPU mult-sum; the
         # einsum dot would route through the MXU at bf16 precision)
@@ -991,8 +1012,8 @@ def bsr_matvec(blocks2: jnp.ndarray, diag: jnp.ndarray,
     else:
         rsum = jax.lax.map(
             chunk_sum,
-            (bidx.reshape(nchunks, chunk, W),
-             cidx.reshape(nchunks, chunk, W))).reshape(Rpad, P9_)
+            (bidx.reshape(nchunks, chunk * W),
+             cidx.reshape(nchunks, chunk * W))).reshape(Rpad, P9_)
     rsum = jnp.concatenate(
         [rsum[:R], jnp.zeros((1, P9_), rsum.dtype)], axis=0)
     y_off = _level2_reduce(rsum, bsr.idx2)  # [N, 9]
@@ -1014,7 +1035,7 @@ def bsr_matvec_pack(blocks2: jnp.ndarray,
     2-D: an r5 venice run showed the old [R, W, 9, 9] form tile-pads
     (8,128) over the trailing 9x9 to 16x its bytes (545 MB -> 8.51 GB,
     HBM OOM at the clustered twin's 878k pairs)."""
-    Hb = jnp.take(blocks2, bsr.blk_idx.reshape(-1), axis=0,
+    Hb = jnp.take(blocks2, bsr.blk_idx, axis=0,
                   mode="fill", fill_value=0.0)  # [R*W, 81]
     return Hb
 
@@ -1028,37 +1049,37 @@ def bsr_matvec_packed(packed: jnp.ndarray, diag: jnp.ndarray,
     diagonal product. Numerically equal to bsr_matvec up to f32
     reassociation."""
     P9_ = POSE_SIZE
-    R, W = bsr.col_idx.shape
-    xg = jnp.take(x, bsr.col_idx.reshape(-1), axis=0, mode="fill",
-                  fill_value=0.0)  # [R*W, 9]
+    R, W = bsr.shape2d
     chunk = max(1, min(R, (512 << 10) // max(W, 1)))
-    Rpad = -(-R // chunk) * chunk
-    packed_p = packed
-    xg_p = xg
-    if Rpad != R:
-        pad_rows = (Rpad - R) * W
-        packed_p = jnp.concatenate(
-            [packed, jnp.zeros((pad_rows, 81), packed.dtype)], axis=0)
-        xg_p = jnp.concatenate(
-            [xg, jnp.zeros((pad_rows, P9_), xg.dtype)], axis=0)
+    nfull = R // chunk
+    tail = R - nfull * chunk
 
-    def chunk_sum(args):
-        Hb, xc = args
+    def chunk_sum(Hb, ci, nruns):
+        # per-chunk x gather (x is a tiny fast source): a whole-table
+        # [R*W, 9] gather lane-pads 14x -- 4.45 GB inside the CG loop
+        # at final-4585's 9.3M entries (r5 OOM)
+        xc = jnp.take(x, ci, axis=0, mode="fill", fill_value=0.0)
         prod = jnp.sum(Hb.reshape(-1, P9_, P9_) * xc[:, None, :],
                        axis=2)  # [cW, 9]
-        return jnp.sum(prod.reshape(chunk, W, P9_), axis=1)
+        return jnp.sum(prod.reshape(nruns, W, P9_), axis=1)
 
-    nchunks = Rpad // chunk
-    if nchunks == 1:
-        rsum = chunk_sum((packed_p, xg_p))
-    else:
-        rsum = jax.lax.map(
-            chunk_sum,
-            (packed_p.reshape(nchunks, chunk * W, 81),
-             xg_p.reshape(nchunks, chunk * W, P9_))
-        ).reshape(Rpad, P9_)
-    rsum = jnp.concatenate(
-        [rsum[:R], jnp.zeros((1, P9_), rsum.dtype)], axis=0)
+    parts = []
+    if nfull:
+        main = jax.lax.map(
+            lambda args: chunk_sum(args[0], args[1], chunk),
+            (jax.lax.slice_in_dim(packed, 0, nfull * chunk * W, axis=0)
+             .reshape(nfull, chunk * W, 81),
+             jax.lax.slice_in_dim(bsr.col_idx, 0, nfull * chunk * W)
+             .reshape(nfull, chunk * W))).reshape(nfull * chunk, P9_)
+        parts.append(main)
+    if tail:
+        parts.append(chunk_sum(
+            jax.lax.slice_in_dim(packed, nfull * chunk * W, R * W,
+                                 axis=0),
+            jax.lax.slice_in_dim(bsr.col_idx, nfull * chunk * W,
+                                 R * W), tail))
+    parts.append(jnp.zeros((1, P9_), packed.dtype))
+    rsum = jnp.concatenate(parts, axis=0)
     y_off = _level2_reduce(rsum, bsr.idx2)  # [N, 9]
     y_diag = jnp.sum(diag * x[:, None, :], axis=2)
     return y_diag + y_off
@@ -1070,8 +1091,7 @@ def bsr_symmetric_fits(bsr: BsrMatvecIndex, itemsize: int,
     budget, i.e. the stage2 assembly should emit the symmetric-half
     [P, 81] block table and the matvec should run bsr_matvec_sym.
     Static decision (index shapes known at build time)."""
-    R, W = bsr.blk_idx.shape
-    return R * W * 81 * itemsize > max_pack_bytes
+    return bsr.blk_idx.shape[0] * 81 * itemsize > max_pack_bytes
 
 
 def bsr_matvec_sym(blocks: jnp.ndarray, diag: jnp.ndarray,
@@ -1085,25 +1105,25 @@ def bsr_matvec_sym(blocks: jnp.ndarray, diag: jnp.ndarray,
     table is the HBM-bound TPU equivalent."""
     P9_ = POSE_SIZE
     N = x.shape[0]
-    R, W = bsr.blk_idx.shape
+    R, W = bsr.shape2d
     P = blocks.shape[0]
     chunk = max(1, min(R, (512 << 10) // max(W, 1)))
     Rpad = -(-R // chunk) * chunk
     bidx, cidx = bsr.blk_idx, bsr.col_idx
     if Rpad != R:
+        pad = (Rpad - R) * W
         bidx = jnp.concatenate(
-            [bidx, jnp.full((Rpad - R, W), 2 * P, jnp.int32)])
+            [bidx, jnp.full((pad,), 2 * P, jnp.int32)])
         cidx = jnp.concatenate(
-            [cidx, jnp.full((Rpad - R, W), N, jnp.int32)])
+            [cidx, jnp.full((pad,), N, jnp.int32)])
 
     def chunk_sum(ix):
-        bi, ci = ix
-        flat_b = bi.reshape(-1)
+        flat_b, ci = ix
         tr = flat_b >= P
         idx = jnp.where(tr, flat_b - P, flat_b)
         Hb = jnp.take(blocks, idx, axis=0, mode="fill",
                       fill_value=0.0)  # [cW, 81]
-        xg = jnp.take(x, ci.reshape(-1), axis=0, mode="fill",
+        xg = jnp.take(x, ci, axis=0, mode="fill",
                       fill_value=0.0)  # [cW, 9]
         Hm = Hb.reshape(-1, P9_, P9_)
         prod_s = jnp.sum(Hm * xg[:, None, :], axis=2)       # H x
@@ -1117,8 +1137,8 @@ def bsr_matvec_sym(blocks: jnp.ndarray, diag: jnp.ndarray,
     else:
         rsum = jax.lax.map(
             chunk_sum,
-            (bidx.reshape(nchunks, chunk, W),
-             cidx.reshape(nchunks, chunk, W))).reshape(Rpad, P9_)
+            (bidx.reshape(nchunks, chunk * W),
+             cidx.reshape(nchunks, chunk * W))).reshape(Rpad, P9_)
     rsum = jnp.concatenate(
         [rsum[:R], jnp.zeros((1, P9_), rsum.dtype)], axis=0)
     y_off = _level2_reduce(rsum, bsr.idx2)  # [N, 9]
