@@ -309,7 +309,7 @@ class LinearizerBase:
         self._attempt_idx += 1
         interval = max(self.options.effective_timing()[0], 0)
         if interval and self._attempt_idx % interval == 0:
-            return self._attempt_calibrated(lam)
+            return self._try_attempt(self._attempt_calibrated, lam)
 
         mode = getattr(self, "_attempt_mode", "full")
         if mode == "full":
@@ -335,7 +335,7 @@ class LinearizerBase:
                     raise
                 self._attempt_mode = "separate"
                 self._note_fallback("separate", e)
-        return self._attempt_calibrated(lam)
+        return self._try_attempt(self._attempt_calibrated, lam)
 
     _TRANSIENT_ERRORS = ("response body closed", "read body",
                          "DEADLINE_EXCEEDED", "UNAVAILABLE",
@@ -356,15 +356,15 @@ class LinearizerBase:
         msg = str(e)
         return any(t in msg for t in cls._CAPACITY_ERRORS)
 
-    def _try_attempt(self, fn, lam):
-        """Run a fused-attempt mode, retrying ONCE on transient
+    def _try_attempt(self, fn, *args):
+        """Run an attempt/stage dispatch, retrying ONCE on transient
         compile-service/transport errors -- a dropped remote-compile
         connection is not a program-too-big signal and must not
         permanently degrade the attempt mode (observed at final-13682:
         one 'response body closed' rerouted the whole run through the
         slow separate path)."""
         try:
-            return fn(lam)
+            return fn(*args)
         except jax.errors.JaxRuntimeError as e:
             msg = str(e)
             if not any(t in msg for t in self._TRANSIENT_ERRORS):
@@ -372,7 +372,7 @@ class LinearizerBase:
             print(f"[rootba_tpu] transient compile/transport error, "
                   f"retrying attempt once: "
                   f"{msg.splitlines()[0][:160]}", flush=True)
-            return fn(lam)
+            return fn(*args)
 
     def _note_fallback(self, mode, e):
         # always surface the original cause: the catch treats any
@@ -527,12 +527,25 @@ class LinearizerBase:
 
     def _attempt_calibrated(self, lam: float):
         """attempt() semantics via separate measured dispatches; records
-        the stage-time fractions used to attribute fused attempts."""
+        the stage-time fractions used to attribute fused attempts.
+
+        Exception-safe: the pre-attempt state is restored before any
+        error propagates, so attempt()'s transient-retry wrapper can
+        re-run this from the same linearization point (a dropped
+        remote-compile connection during the stage2 compile killed a
+        whole venice record otherwise)."""
+        backup = self.state
+        try:
+            return self._attempt_calibrated_body(lam, backup)
+        except Exception:
+            self.set_state(backup)
+            raise
+
+    def _attempt_calibrated_body(self, lam: float, backup):
         inc = self.solve(lam)  # exact prepare + linear-solve timings
         inc_finite = bool(jnp.all(jnp.isfinite(inc)))
         if not inc_finite:
             inc = jnp.zeros_like(inc)
-        backup = self.state
         new_state, l_diff = self.apply(inc)  # exact back-sub timing
         self.set_state(new_state)
         t_err0 = time.monotonic()
@@ -598,6 +611,12 @@ class LinearizerBase:
                 f"({failures} observations)")
 
     def linearize(self):
+        # stage1's (large) compile also rides this dispatch; a dropped
+        # remote-compile connection is retryable (linearize reads but
+        # never mutates solver state)
+        return self._try_attempt(self._linearize_impl)
+
+    def _linearize_impl(self):
         t0 = time.monotonic()
         lins, pose_scale, failures = self._stage1_fn(
             self.consts, self.state.cams, self.state.lm_ps)

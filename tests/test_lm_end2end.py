@@ -314,6 +314,61 @@ def test_attempt_ladder_failure_causes():
     assert lin._attempt_mode == "half" and hit == [0.1]
 
 
+def test_calibrated_attempt_transient_retry():
+    """The calibrated (separate-dispatch) attempt path retries once on
+    transient compile-service/transport errors and restores the
+    pre-attempt state before retrying -- a dropped remote-compile
+    connection during the stage2 compile killed a whole venice suite
+    record (r5) because only the fused paths were wrapped."""
+    import jax
+    import jax.numpy as jnp
+
+    from rootba_tpu.bal.bucketing import bucketize
+    from rootba_tpu.solver.lm import create_linearizer, initial_state
+
+    p = fresh_problem()
+    opts = SolverOptions(max_num_iterations=2, verbosity_level=0,
+                         bucket_pow2_from=4, use_double=False)
+    bp = bucketize(p, pow2_from=opts.bucket_pow2_from)
+    lin = create_linearizer(bp, opts, jnp.float32)
+    lin.set_state(initial_state(bp, jnp.float32))
+    lin.compute_error()
+    lin.linearize()
+
+    state_before = lin.state
+    failures = []
+    real_solve = lin.solve
+
+    def flaky_solve(lam):
+        if not failures:
+            failures.append(1)
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: http://127.0.0.1:8093/remote_compile: "
+                "read body: response body closed before all bytes "
+                "were read")
+        return real_solve(lam)
+
+    lin.solve = flaky_solve
+    # interval=8 and idx 7 -> this attempt (idx 8) takes the
+    # calibrated path
+    lin._attempt_idx = 7
+    new_state, l_diff, ri2, inc_finite = lin.attempt(0.1)
+    assert failures == [1]  # failed once, retried once
+    assert lin.state is state_before  # attempt left state restored
+    assert inc_finite and ri2.valid.num_obs > 0
+
+    # a non-transient error still propagates (no infinite retry)
+    def hard_fail(lam):
+        raise jax.errors.JaxRuntimeError(
+            "INTERNAL: NaN detected in buffer during execution")
+
+    lin.solve = hard_fail
+    lin._attempt_idx = 7
+    with pytest.raises(jax.errors.JaxRuntimeError, match="NaN detected"):
+        lin.attempt(0.1)
+    assert lin.state is state_before
+
+
 def test_string_option_validation():
     """Typos in the free-form string options must raise, not silently
     fall back to default behavior (ADVICE r4)."""
