@@ -622,11 +622,16 @@ class SCLinearizer(LinearizerBase):
                     H=jnp.zeros((0, P9, P9), dtype), b=b,
                     Hll_inv=Hll_invs, lam=jnp.asarray(lam, dtype))
             elif self.bsr_rcs:
-                blocks2, diag, b, Hll_invs = sc_assemble_bsr(
+                from rootba_tpu.solver.linearization import (
+                    bsr_build_table,
+                )
+
+                half, diag, b, Hll_invs = sc_assemble_bsr(
                     lins, buckets, pair_csr, cam_flat, csr, lam,
                     self.num_cameras, cam_strips=cstrips_,
-                    symmetric=self.bsr_sym)
-                H_dense = (blocks2, diag)
+                    symmetric=True)
+                H_dense = (bsr_build_table(half, bsr_, self.bsr_sym),
+                           diag)
                 stage2 = SCStage2(
                     H=jnp.zeros((0, P9, P9), dtype), b=b,
                     Hll_inv=Hll_invs, lam=jnp.asarray(lam, dtype))
@@ -678,13 +683,12 @@ class SCLinearizer(LinearizerBase):
                     return sc_matvec_dense(H_dense, x)
             elif self.bsr_rcs:
                 from rootba_tpu.solver.linearization import (
-                    make_bsr_matvec,
+                    bsr_table_matvec,
                 )
 
-                blocks2, diag_b = H_dense
-                matvec = make_bsr_matvec(
-                    blocks2, diag_b, bsr_,
-                    int(opts.bsr_pack_max_gb * (1 << 30)))
+                table, diag_b = H_dense
+                matvec = bsr_table_matvec(table, diag_b, bsr_,
+                                          self.bsr_sym)
             else:
                 def matvec(x):
                     return sc_matvec(stage2, pairs, self.num_cameras, x)
@@ -883,11 +887,16 @@ class PowerSCLinearizer(SCLinearizer):
                                        self.num_cameras,
                                        cam_strips=cstrips_)
             elif self.bsr_rcs:
-                E0 = e0_assemble_bsr(lins, buckets, Hll_invs,
-                                     pair_csr, cam_flat, csr,
-                                     self.num_cameras,
-                                     cam_strips=cstrips_,
-                                     symmetric=self.bsr_sym)
+                from rootba_tpu.solver.linearization import (
+                    bsr_build_table,
+                )
+
+                neg_half, neg_diag = e0_assemble_bsr(
+                    lins, buckets, Hll_invs, pair_csr, cam_flat, csr,
+                    self.num_cameras, cam_strips=cstrips_,
+                    symmetric=True)
+                E0 = (bsr_build_table(neg_half, bsr_, self.bsr_sym),
+                      neg_diag)
             stage2 = SCStage2(H=jnp.zeros((0, P9, P9), dtype), b=b,
                               Hll_inv=Hll_invs,
                               lam=jnp.asarray(lam, dtype))
@@ -910,13 +919,12 @@ class PowerSCLinearizer(SCLinearizer):
                     return sc_matvec_dense(E0, v)
             elif self.bsr_rcs:
                 from rootba_tpu.solver.linearization import (
-                    make_bsr_matvec,
+                    bsr_table_matvec,
                 )
 
-                neg_blocks2, neg_diag = E0
-                neg_mv = make_bsr_matvec(
-                    neg_blocks2, neg_diag, bsr_,
-                    int(opts.bsr_pack_max_gb * (1 << 30)))
+                neg_table, neg_diag = E0
+                neg_mv = bsr_table_matvec(neg_table, neg_diag, bsr_,
+                                          self.bsr_sym)
 
                 def apply_e0(v):
                     return -neg_mv(v)

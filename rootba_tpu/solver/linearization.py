@@ -1085,6 +1085,68 @@ def bsr_matvec_packed(packed: jnp.ndarray, diag: jnp.ndarray,
     return y_diag + y_off
 
 
+def bsr_pack_from_half(half: jnp.ndarray,
+                       bsr: BsrMatvecIndex) -> jnp.ndarray:
+    """Run-major packed [R*W, 81] table built directly from the
+    strict-pair HALF table [P, 81] (assemble_rcs_bsr symmetric=True):
+    entries with blk_idx >= P gather the same strict-pair row and
+    apply the 9x9 block transpose as a static column permutation; pad
+    entries (blk_idx >= 2P) land out of range of the half table and
+    fill 0.
+
+    Replaces the stage2 [2P, 81] both-direction intermediate + the
+    lsolve-side bsr_matvec_pack re-gather: at final-4585's 4.65M
+    clustered pairs those were 3.0 GB of blocks2 plus ~8.9 GB of
+    packed-copy temps inside the CG program (the r5 runtime OOM --
+    XLA holds the pack result and its layout copy across the while
+    loop). Chunked fills into one preallocated output keep the peak
+    at the output + one [C, 81] transient."""
+    P = half.shape[0]
+    E = bsr.blk_idx.shape[0]
+    perm_t = jnp.asarray(
+        np.arange(81).reshape(POSE_SIZE, POSE_SIZE).T.reshape(-1),
+        jnp.int32)
+    out = jnp.zeros((E, 81), half.dtype)
+    C = min(E, max(1, (1 << 23) // 81))
+
+    def fill(start, buf):
+        bi = jax.lax.dynamic_slice_in_dim(bsr.blk_idx, start, C)
+        tr = bi >= P
+        idx = jnp.where(tr, bi - P, bi)
+        rows = jnp.take(half, idx, axis=0, mode="fill", fill_value=0.0)
+        rows = jnp.where(tr[:, None],
+                         jnp.take(rows, perm_t, axis=1), rows)
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, rows, start, axis=0)
+
+    nfull = E // C
+    out = jax.lax.fori_loop(0, nfull, lambda i, b: fill(i * C, b), out)
+    if E % C:
+        # tail chunk re-reads the last C entries; fill reads only from
+        # half/blk_idx, so the rewrite is idempotent
+        out = fill(E - C, out)
+    return out
+
+
+def bsr_build_table(half: jnp.ndarray, bsr: BsrMatvecIndex,
+                    symmetric: bool) -> jnp.ndarray:
+    """stage2-side BSR table finalization: the half table itself in
+    the symmetric regime, the packed run-major expansion otherwise
+    (packing here -- once per stage2, chunked -- instead of inside the
+    CG program keeps the [2P, 81] form out of existence entirely)."""
+    return half if symmetric else bsr_pack_from_half(half, bsr)
+
+
+def bsr_table_matvec(table: jnp.ndarray, diag: jnp.ndarray,
+                     bsr: BsrMatvecIndex, symmetric: bool):
+    """Matvec closure over a bsr_build_table result (the lsolve-side
+    counterpart; both regimes are gather-bounded per application:
+    sym gathers [P,81] rows, packed streams row slices)."""
+    if symmetric:
+        return lambda x: bsr_matvec_sym(table, diag, bsr, x)
+    return lambda x: bsr_matvec_packed(table, diag, bsr, x)
+
+
 def bsr_symmetric_fits(bsr: BsrMatvecIndex, itemsize: int,
                        max_pack_bytes: int) -> bool:
     """True when the packed run-major table would exceed the byte

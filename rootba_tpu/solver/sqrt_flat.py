@@ -888,11 +888,20 @@ class FlatSqrtLinearizer(LinearizerBase):
                     precond_jacobi=precond_jacobi, csr=csr,
                     with_precond=precond_jacobi, cam_strips=cstrips_)
                 if bsr_mode:
-                    blocks2, diag = flat_assemble_rcs_bsr(
+                    from rootba_tpu.solver.linearization import (
+                        bsr_build_table,
+                    )
+
+                    # always assemble the strict-pair HALF table (in-
+                    # place chunked scale+negate), then expand to the
+                    # packed run-major form here when it fits -- the
+                    # [2P, 81] both-direction intermediate never exists
+                    # (final-4585 r5 OOM)
+                    half, diag = flat_assemble_rcs_bsr(
                         lins, stage2, cam_flat, pairs, N, csr=csr,
                         buckets=buckets, cam_strips=cstrips_,
-                        symmetric=bsr_sym)
-                    Hd = (blocks2, diag)
+                        symmetric=True)
+                    Hd = (bsr_build_table(half, bsr, bsr_sym), diag)
                 else:
                     Hd, diag = flat_assemble_rcs(lins, stage2, cam_flat,
                                                  pairs, N, csr=csr,
@@ -921,16 +930,11 @@ class FlatSqrtLinearizer(LinearizerBase):
             stage2, Hd = aux
             if bsr_mode:
                 from rootba_tpu.solver.linearization import (
-                    make_bsr_matvec,
+                    bsr_table_matvec,
                 )
 
-                blocks2, diag = Hd
-                # loop-invariant packed table when it fits the HBM
-                # budget, per-iteration gather otherwise (see
-                # make_bsr_matvec)
-                matvec = make_bsr_matvec(
-                    blocks2, diag, bsr_,
-                    int(opts.bsr_pack_max_gb * (1 << 30)))
+                table, diag = Hd
+                matvec = bsr_table_matvec(table, diag, bsr_, bsr_sym)
             elif explicit:
                 def matvec(x):
                     from rootba_tpu.solver.explicit_sc import (

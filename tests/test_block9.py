@@ -104,3 +104,12 @@ def test_bsr_matvec_packed_matches_reference():
     y_ref = (H @ np.asarray(x).reshape(-1)).reshape(N, 9)
     np.testing.assert_allclose(np.asarray(y_new), y_ref, rtol=1e-4,
                                atol=1e-4)
+
+    # pack built straight from the HALF table (the stage2-side path
+    # that replaces the [2P, 81] intermediate; r5 final-4585 OOM fix)
+    from rootba_tpu.solver.linearization import bsr_pack_from_half
+
+    packed_h = bsr_pack_from_half(jnp.asarray(blocks, jnp.float32),
+                                  bsr)
+    np.testing.assert_allclose(np.asarray(packed_h),
+                               np.asarray(packed), rtol=0, atol=0)
