@@ -1065,12 +1065,24 @@ def bsr_matvec_packed(packed: jnp.ndarray, diag: jnp.ndarray,
 
     parts = []
     if nfull:
-        main = jax.lax.map(
-            lambda args: chunk_sum(args[0], args[1], chunk),
-            (jax.lax.slice_in_dim(packed, 0, nfull * chunk * W, axis=0)
-             .reshape(nfull, chunk * W, 81),
-             jax.lax.slice_in_dim(bsr.col_idx, 0, nfull * chunk * W)
-             .reshape(nfull, chunk * W))).reshape(nfull * chunk, P9_)
+        # fori_loop + dynamic slices, NOT lax.map over a reshaped
+        # table: scan xs materialize a full reshaped copy of the
+        # packed table (and double-buffer it) -- ~6 GB of the CG
+        # program's temps at final-4585's 3.0 GB table. The loop body
+        # reads the table arg in place, one [chunk*W, 81] transient at
+        # a time.
+        def body(i, acc):
+            start = i * (chunk * W)
+            Hb = jax.lax.dynamic_slice_in_dim(
+                packed, start, chunk * W, axis=0)
+            ci = jax.lax.dynamic_slice_in_dim(
+                bsr.col_idx, start, chunk * W)
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, chunk_sum(Hb, ci, chunk), i * chunk, axis=0)
+
+        main = jax.lax.fori_loop(
+            0, nfull, body,
+            jnp.zeros((nfull * chunk, P9_), packed.dtype))
         parts.append(main)
     if tail:
         parts.append(chunk_sum(
